@@ -1,0 +1,141 @@
+"""Geometry (box/point) prompt encoder.
+
+Re-design of ``sam3/model/geometry_encoders.py`` (SequenceGeometryEncoder with
+SAM3's flags: boxes/points each encoded by direct projection + feature pooling
++ sine position encoding, summed with a positive/negative label embedding; a
+CLS token; a final linear+LN projection; then 3 transformer layers
+cross-attending to the stride-14 image features, model_builder.py:232-285).
+
+Static-shape prompt representation (replaces the reference's ``Prompt``
+container + ``concat_padded_sequences`` machinery, geometry_encoders.py:22-412):
+boxes live in a fixed (B, P, 4) tensor with a (B, P) True=pad mask. Because
+every consumer (attention, pooling, scoring) is mask-aware, fixed-slot layout
+is equivalent to the reference's contiguous right-padding — no re-packing is
+ever needed on device.
+
+Output sequence layout: [P box slots | CLS], mask (B, P+1) with CLS always
+valid. Points are deferred to the interactive tier (PCS ignores point prompts;
+sam3_image.py:547-548 prints a warning and drops them).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+from ..ops.boxes import box_cxcywh_to_xyxy
+from ..ops.posenc import encode_boxes
+from ..ops.sampling import roi_align
+from .fusion_encoder import EncoderLayer
+from .layers import Conv2d, Embedding, LayerNorm, LoRALinear, Spec
+
+
+@struct.dataclass
+class GeoPrompt:
+    """Static-shape geometric prompt batch.
+
+    boxes: (B, P, 4) normalized cxcywh; mask: (B, P) True = padding;
+    labels: (B, P) int32, 1 = positive, 0 = negative.
+    """
+
+    boxes: jnp.ndarray
+    mask: jnp.ndarray
+    labels: jnp.ndarray
+
+    @staticmethod
+    def empty(batch: int, num_slots: int) -> "GeoPrompt":
+        return GeoPrompt(
+            boxes=jnp.zeros((batch, num_slots, 4), jnp.float32),
+            mask=jnp.ones((batch, num_slots), jnp.bool_),
+            labels=jnp.ones((batch, num_slots), jnp.int32),
+        )
+
+
+class GeometryEncoder(nn.Module):
+    spec: Spec
+
+    @nn.compact
+    def __call__(
+        self,
+        prompt: GeoPrompt,
+        img_feats: jnp.ndarray,       # (B, HW, D) stride-14 tokens
+        img_pos: jnp.ndarray,         # (B, HW, D)
+        feat_hw: Tuple[int, int],
+        *,
+        train: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (geo_tokens (B, P+1, D), geo_mask (B, P+1) True=pad)."""
+        sp = self.spec
+        cfg = sp.model
+        d = cfg.d_model
+        b, p, _ = prompt.boxes.shape
+        h, w = feat_hw
+
+        # image features for pooling, pre-normed (geometry_encoders.py:578-580)
+        feats_normed = LayerNorm(name="img_pre_norm")(img_feats)
+        feats_grid = feats_normed.transpose(0, 2, 1).reshape(b, d, h, w)
+
+        # --- box embedding: direct + ROI pool + sine PE (geometry_encoders.py:643-692)
+        boxes = prompt.boxes
+        direct = LoRALinear(d, sp, name="boxes_direct_project")(
+            boxes.astype(sp.dtype), train=train
+        )
+
+        boxes_xyxy = box_cxcywh_to_xyxy(boxes) * jnp.array(
+            [w, h, w, h], jnp.float32
+        )
+        pooled = roi_align(
+            feats_grid.astype(jnp.float32),
+            boxes_xyxy,
+            output_size=cfg.geo_roi_size,
+        )  # (B, P, D, R, R)
+        pooled = pooled.reshape(b * p, d, cfg.geo_roi_size, cfg.geo_roi_size)
+        pooled = Conv2d(d, (cfg.geo_roi_size, cfg.geo_roi_size), sp, name="boxes_pool_project")(
+            pooled.astype(sp.dtype)
+        )
+        pooled = pooled.reshape(b, p, d)
+
+        cx, cy, ww, hh = [boxes[..., i] for i in range(4)]
+        pe = encode_boxes(cx, cy, ww, hh, num_pos_feats=d)  # (B, P, D+2)
+        pe = LoRALinear(d, sp, name="boxes_pos_enc_project")(
+            pe.astype(sp.dtype), train=train
+        )
+
+        label_embed = Embedding(2, d, sp, name="label_embed")
+        emb = direct + pooled + pe + label_embed(jnp.clip(prompt.labels, 0, 1))
+
+        # --- CLS token (always valid; guarantees a non-empty sequence)
+        cls = Embedding(1, d, sp, name="cls_embed")()  # (1, D)
+        cls = jnp.broadcast_to(cls[None], (b, 1, d))
+        seq = jnp.concatenate([emb, cls], axis=1)            # (B, P+1, D)
+        mask = jnp.concatenate(
+            [prompt.mask, jnp.zeros((b, 1), jnp.bool_)], axis=1
+        )
+
+        # zero out padded slots so no NaN/garbage leaks through residuals
+        seq = jnp.where(mask[..., None], 0.0, seq)
+
+        # --- final projection + LN (add_post_encode_proj=True)
+        seq = LayerNorm(name="norm")(
+            LoRALinear(d, sp, name="final_proj")(seq, train=train)
+        )
+
+        # --- 3 transformer layers cross-attending to image feats
+        for i in range(cfg.geo_layers):
+            seq = EncoderLayer(
+                sp,
+                d_model=d,
+                heads=cfg.enc_heads,
+                ffn_dim=cfg.enc_ffn_dim,
+                dropout=cfg.enc_dropout,
+                pos_enc_at_attn=False,
+                pos_enc_at_cross_attn_keys=True,
+                pos_enc_at_cross_attn_queries=False,
+                name=f"encode.{i}",
+            )(seq, img_feats, None, img_pos, mask, None, train)
+        seq = LayerNorm(name="encode_norm")(seq)
+        return seq, mask

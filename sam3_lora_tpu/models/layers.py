@@ -1,0 +1,395 @@
+"""Core layers: LoRA-capable Linear, torch-compatible MultiHeadAttention, MLPs.
+
+Module naming convention: every flax submodule is named with its torch-style
+attribute name (list entries as ``name.i``), so a parameter's flax path joined
+with '.' *is* the reference checkpoint key prefix. This makes
+
+* LoRA targeting exact (``LoRAConfig.should_apply`` sees reference-identical
+  names — see lora_layers.py:174-198 semantics), and
+* checkpoint conversion a pure name/transpose mapping
+  (``scripts/convert_checkpoint.py``).
+
+LoRA design (TPU-native): instead of wrapping modules post-hoc (the reference
+mutates ``nn.Module``s in place), every candidate Linear *is* a ``LoRALinear``
+that materializes ``lora_a``/``lora_b`` parameters at init iff the build-time
+``Spec.lora`` config targets its path. The forward is the fused
+``y = x @ W + ((drop(x) @ A) @ B) * (alpha/r)`` — two skinny matmuls that XLA
+fuses with the base GEMM's epilogue. Trainability is decided by parameter-path
+filtering (``sam3_lora_tpu/models/lora.py``), not requires_grad.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import LoRAConfig, ModelConfig
+from ..ops.attention import dot_product_attention, make_attention_bias, merge_heads, split_heads
+
+
+@dataclasses.dataclass(frozen=True)
+class Spec:
+    """Build-time spec threaded through every module."""
+
+    model: ModelConfig
+    lora: Optional[LoRAConfig] = None
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.model.dtype)
+
+    @property
+    def param_dtype(self):
+        return jnp.dtype(self.model.param_dtype)
+
+
+def torch_path(flax_path: Tuple[str, ...]) -> str:
+    return ".".join(flax_path)
+
+
+def lecun_trunc_normal(std: float = 0.02):
+    return nn.initializers.truncated_normal(stddev=std / 0.87962566103423978)
+
+
+def torch_linear_kernel_init(key, shape, dtype):
+    """torch nn.Linear default: kaiming_uniform(a=sqrt(5)) on (out, in) ==
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in)); shape here is (in, out)."""
+    fan_in = shape[0]
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def kaiming_uniform_a5(key, shape, dtype):
+    """kaiming_uniform(a=sqrt(5)) for LoRA A of shape (in, r): bound =
+    sqrt(6 / ((1 + 5) * fan_in)) = 1/sqrt(fan_in) (lora_layers.py:46)."""
+    fan_in = shape[0]
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class LoRALinear(nn.Module):
+    """Linear with optional fused LoRA branch, decided by torch-style path."""
+
+    features: int
+    spec: Spec
+    use_bias: bool = True
+    kernel_init: Callable = torch_linear_kernel_init
+    bias_init: Callable = nn.initializers.zeros_init()
+    lora_eligible: bool = True  # set False to exempt (e.g. packed qkv of MHA)
+
+    def lora_rank(self) -> int:
+        lcfg = self.spec.lora
+        if not self.lora_eligible or lcfg is None or lcfg.rank <= 0:
+            return 0
+        name = torch_path(self.path)
+        return lcfg.rank if lcfg.should_apply(name) else 0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (in_features, self.features), self.spec.param_dtype
+        )
+        dtype = self.spec.dtype
+        y = jnp.dot(x.astype(dtype), kernel.astype(dtype))
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,), self.spec.param_dtype)
+            y = y + bias.astype(dtype)
+
+        rank = self.lora_rank()
+        if rank > 0:
+            lcfg = self.spec.lora
+            lora_a = self.param(
+                "lora_a", kaiming_uniform_a5, (in_features, rank), jnp.float32
+            )
+            lora_b = self.param(
+                "lora_b", nn.initializers.zeros_init(), (rank, self.features), jnp.float32
+            )
+            xin = x
+            if lcfg.dropout > 0.0 and train:
+                keep = 1.0 - lcfg.dropout
+                mask = jax.random.bernoulli(self.make_rng("dropout"), keep, x.shape)
+                xin = jnp.where(mask, x / keep, 0.0)
+            # fp32 LoRA math (adapters train in fp32 even under bf16 compute)
+            delta = (xin.astype(jnp.float32) @ lora_a) @ lora_b
+            y = y + (delta * (lcfg.alpha / rank)).astype(y.dtype)
+        return y
+
+
+class Dropout(nn.Module):
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        if self.rate <= 0.0 or not train:
+            return x
+        keep = 1.0 - self.rate
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep, x.shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class DropPath(nn.Module):
+    """Stochastic depth per sample (timm DropPath)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        if self.rate <= 0.0 or not train:
+            return x
+        keep = 1.0 - self.rate
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep, shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class LayerScale(nn.Module):
+    dim: int
+    init_values: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param(
+            "gamma",
+            lambda k, s, d: jnp.full(s, self.init_values, d),
+            (self.dim,),
+            jnp.float32,
+        )
+        return x * gamma.astype(x.dtype)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with torch naming (weight/bias) and fp32 computation."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        weight = self.param("weight", nn.initializers.ones_init(), (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (dim,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(-1, keepdims=True)
+        var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * weight + bias).astype(x.dtype)
+
+
+class GroupNorm(nn.Module):
+    """torch nn.GroupNorm over channel-first (..., C, H, W)."""
+
+    num_groups: int
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-3]
+        weight = self.param("weight", nn.initializers.ones_init(), (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,), jnp.float32)
+        g = self.num_groups
+        shape = x.shape
+        xf = x.astype(jnp.float32).reshape(*shape[:-3], g, c // g, shape[-2], shape[-1])
+        mean = xf.mean(axis=(-3, -2, -1), keepdims=True)
+        var = ((xf - mean) ** 2).mean(axis=(-3, -2, -1), keepdims=True)
+        y = ((xf - mean) * jax.lax.rsqrt(var + self.epsilon)).reshape(shape)
+        return (y * weight[:, None, None] + bias[:, None, None]).astype(x.dtype)
+
+
+class Conv2d(nn.Module):
+    """torch-convention Conv2d over (B, C, H, W) with weight named like torch.
+
+    Kernel is stored flax-style (kh, kw, in, out); the converter transposes
+    torch's (out, in, kh, kw).
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    spec: Spec
+    stride: Tuple[int, int] = (1, 1)
+    padding: Any = "VALID"
+    use_bias: bool = True
+    transpose: bool = False  # ConvTranspose2d
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = self.spec.dtype
+        in_ch = x.shape[1]
+        kh, kw = self.kernel_size
+        fan_in = in_ch * kh * kw if not self.transpose else self.features * kh * kw
+        bound = 1.0 / math.sqrt(fan_in)
+
+        def kinit(key, shape, dt):
+            return jax.random.uniform(key, shape, dt, -bound, bound)
+
+        kernel = self.param(
+            "kernel", kinit, (kh, kw, in_ch, self.features), self.spec.param_dtype
+        )
+        x_nhwc = jnp.transpose(x, (0, 2, 3, 1)).astype(dtype)
+        if self.transpose:
+            y = jax.lax.conv_transpose(
+                x_nhwc,
+                kernel.astype(dtype),
+                strides=self.stride,
+                padding=self.padding if self.padding != "VALID" else "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        else:
+            pad = self.padding
+            if isinstance(pad, int):
+                pad = [(pad, pad), (pad, pad)]
+            y = jax.lax.conv_general_dilated(
+                x_nhwc,
+                kernel.astype(dtype),
+                window_strides=self.stride,
+                padding=pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        if self.use_bias:
+            bias = self.param("bias", kinit, (self.features,), self.spec.param_dtype)
+            y = y + bias.astype(dtype)
+        return jnp.transpose(y, (0, 3, 1, 2))
+
+
+class MaxPool2x2(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        # (B, C, H, W) -> stride-2 max pool
+        return jax.lax.reduce_window(
+            x,
+            -jnp.inf,
+            jax.lax.max,
+            window_dimensions=(1, 1, 2, 2),
+            window_strides=(1, 1, 2, 2),
+            padding="VALID",
+        ).astype(x.dtype)
+
+
+class MultiHeadAttention(nn.Module):
+    """torch nn.MultiheadAttention-compatible MHA (batch-first interface).
+
+    Packed in_proj (q|k|v) like torch; ``out_proj`` is a LoRALinear so the
+    reference's explicit out_proj skip applies identically. ``attn_bias`` is an
+    additive (B, H, Lq, Lk) mask (the reference's float attn_mask).
+    """
+
+    embed_dim: int
+    num_heads: int
+    spec: Spec
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,  # (B, Lq, D)
+        key: jnp.ndarray,
+        value: jnp.ndarray,
+        *,
+        key_padding_mask: Optional[jnp.ndarray] = None,  # (B, Lk) True=pad
+        attn_bias: Optional[jnp.ndarray] = None,  # additive (B|1, H|1, Lq, Lk)
+        train: bool = False,
+    ) -> jnp.ndarray:
+        d = self.embed_dim
+        dtype = self.spec.dtype
+        in_proj_weight = self.param(
+            "in_proj_weight",
+            lambda k, s, dt: jax.random.uniform(
+                k, s, dt, -math.sqrt(1.0 / d), math.sqrt(1.0 / d)
+            ),
+            (d, 3 * d),
+            self.spec.param_dtype,
+        )
+        in_proj_bias = self.param(
+            "in_proj_bias", nn.initializers.zeros_init(), (3 * d,), self.spec.param_dtype
+        )
+        w = in_proj_weight.astype(dtype)
+        b = in_proj_bias.astype(dtype)
+        q = query.astype(dtype) @ w[:, :d] + b[:d]
+        k = key.astype(dtype) @ w[:, d : 2 * d] + b[d : 2 * d]
+        v = value.astype(dtype) @ w[:, 2 * d :] + b[2 * d :]
+
+        qh = split_heads(q, self.num_heads)
+        kh = split_heads(k, self.num_heads)
+        vh = split_heads(v, self.num_heads)
+
+        if self.dropout > 0.0 and train:
+            # attention-prob dropout (torch MHA semantics): do softmax here
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+            ) * (1.0 / math.sqrt(d // self.num_heads))
+            full_bias = make_attention_bias(key_padding_mask, attn_bias)
+            if full_bias is not None:
+                logits = logits + full_bias
+            probs = jax.nn.softmax(logits, axis=-1)
+            keep = 1.0 - self.dropout
+            mask = jax.random.bernoulli(self.make_rng("dropout"), keep, probs.shape)
+            probs = jnp.where(mask, probs / keep, 0.0)
+            out = jnp.einsum(
+                "bhqk,bhkd->bhqd", probs.astype(vh.dtype), vh,
+                preferred_element_type=jnp.float32,
+            ).astype(vh.dtype)
+        else:
+            out = dot_product_attention(
+                qh, kh, vh, bias=attn_bias, key_padding_mask=key_padding_mask
+            )
+        out = merge_heads(out)
+        return LoRALinear(d, self.spec, name="out_proj")(out, train=train)
+
+
+class MLP(nn.Module):
+    """Reference model_misc.MLP (model_misc.py:160-195): relu between layers,
+    dropout on intermediate activations, optional residual + out LayerNorm."""
+
+    hidden_dim: int
+    output_dim: int
+    num_layers: int
+    spec: Spec
+    dropout: float = 0.0
+    residual: bool = False
+    out_norm: bool = False
+    zero_init_last: bool = False  # box-refine heads zero the last layer
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        orig = x
+        dims = [self.hidden_dim] * (self.num_layers - 1) + [self.output_dim]
+        for i, dim in enumerate(dims):
+            last = i == self.num_layers - 1
+            kinit = (
+                nn.initializers.zeros_init()
+                if (last and self.zero_init_last)
+                else torch_linear_kernel_init
+            )
+            x = LoRALinear(dim, self.spec, name=f"layers.{i}", kernel_init=kinit)(
+                x, train=train
+            )
+            if not last:
+                x = jax.nn.relu(x)
+                x = Dropout(self.dropout, name=f"drop{i}")(x, train=train)
+        if self.residual:
+            x = x + orig
+        if self.out_norm:
+            x = LayerNorm(name="out_norm")(x)
+        return x
+
+
+class Embedding(nn.Module):
+    """torch nn.Embedding (weight named 'weight')."""
+
+    num: int
+    features: int
+    spec: Spec
+    init: Callable = nn.initializers.normal(stddev=1.0)
+
+    @nn.compact
+    def __call__(self, ids=None):
+        weight = self.param(
+            "weight", self.init, (self.num, self.features), self.spec.param_dtype
+        )
+        if ids is None:
+            return weight.astype(self.spec.dtype)
+        return weight[ids].astype(self.spec.dtype)

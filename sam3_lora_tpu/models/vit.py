@@ -1,0 +1,215 @@
+"""ViTDet backbone (TPU-native re-design of ``sam3/model/vitdet.py:616-879``).
+
+Architecture (SAM3 config, see ``model_builder.py:69-96``): plain ViT-L/14 at
+1008^2 -> 72x72 tokens, depth 32, dim 1024, heads 16, mlp 4.625, 24x24
+windowed attention in 28 blocks + global attention in blocks {7,15,23,31},
+tiled absolute position embeddings from the 24x24 pretrain grid, and
+interpolated 2D axial RoPE (window blocks use the native 24x24 table, global
+blocks the same table stretched over 72x72 via scale_pos = 24/72).
+
+TPU mapping:
+* window attention = reshape to (B*9, 576, C) batched attention — lands on the
+  MXU as large batched GEMMs, no kernel needed;
+* global attention (5184 tokens) routes through the central attention op
+  (Pallas flash kernel on TPU);
+* abs-pos tiling is a static jnp.tile (constant-folded);
+* per-block activation rematerialization via ``jax.checkpoint`` is applied by
+  the train step (policy in train/trainer.py), not hard-wired here.
+
+MLP sublayers are named ``fc1``/``fc2`` (timm names) — these are the modules
+the reference's default LoRA ``target_modules`` actually match (the observed
+"64 modules, 11,796,480 trainable params" in the reference README comes from
+32 blocks x {fc1, fc2} at rank 32).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.attention import dot_product_attention, merge_heads, split_heads
+from ..ops.rope import apply_rope, compute_axial_freqs
+from ..ops.windows import window_partition, window_unpartition
+from .layers import DropPath, LayerNorm, LoRALinear, Spec, lecun_trunc_normal
+
+
+class PatchEmbed(nn.Module):
+    spec: Spec
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(B, 3, H, W) -> (B, H/p, W/p, C). The stride-14 conv is expressed as
+        a space-to-depth reshape + dense matmul, which XLA tiles onto the MXU
+        far better than a fat conv on TPU."""
+        cfg = self.spec.model
+        p = cfg.patch_size
+        b, c, h, w = x.shape
+        kernel = self.param(
+            "proj.kernel",
+            lecun_trunc_normal(0.02),
+            (p, p, c, cfg.vit_dim),
+            self.spec.param_dtype,
+        )
+        # space-to-depth: (B, C, H, W) -> (B, H/p, W/p, p*p*C)
+        xr = x.reshape(b, c, h // p, p, w // p, p)
+        xr = jnp.transpose(xr, (0, 2, 4, 3, 5, 1)).reshape(b, h // p, w // p, p * p * c)
+        # kernel (p, p, c, D) -> (p*p*c, D) in the same (ph, pw, c) order
+        k2 = kernel.reshape(p * p * c, cfg.vit_dim)
+        return jnp.dot(
+            xr.astype(self.spec.dtype), k2.astype(self.spec.dtype)
+        )  # no bias (bias_patch_embed=False, model_builder.py:94)
+
+
+class Attention(nn.Module):
+    """ViT attention with 2D axial RoPE (vitdet.py:339-515, rel-pos path
+    elided: SAM3 sets rel_pos_blocks=())."""
+
+    spec: Spec
+    input_size: Tuple[int, int]  # (H, W) of this block's attention grid
+    rope_scale_pos: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        cfg = self.spec.model
+        b, h, w, _ = x.shape
+        l = h * w
+        dim = cfg.vit_dim
+        heads = cfg.vit_heads
+        head_dim = dim // heads
+
+        qkv = LoRALinear(dim * 3, self.spec, name="qkv")(
+            x.reshape(b, l, dim), train=train
+        )
+        qkv = qkv.reshape(b, l, 3, heads, head_dim)
+        q, k, v = [
+            jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3)
+        ]  # each (B, H, L, hd)
+
+        if cfg.vit_use_rope:
+            angles = compute_axial_freqs(
+                head_dim,
+                self.input_size[1],
+                self.input_size[0],
+                theta=cfg.vit_rope_theta,
+                scale_pos=self.rope_scale_pos,
+            )
+            cos = jnp.asarray(np.cos(angles))
+            sin = jnp.asarray(np.sin(angles))
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+
+        out = dot_product_attention(q, k, v)
+        out = merge_heads(out)
+        out = LoRALinear(dim, self.spec, name="proj")(out, train=train)
+        return out.reshape(b, h, w, dim)
+
+
+class TimmMlp(nn.Module):
+    """timm.Mlp: fc1 -> GELU(exact) -> fc2 (vit dropout=0 in SAM3)."""
+
+    hidden: int
+    out: int
+    spec: Spec
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        x = LoRALinear(self.hidden, self.spec, name="fc1")(x, train=train)
+        x = jax.nn.gelu(x, approximate=False)
+        x = LoRALinear(self.out, self.spec, name="fc2")(x, train=train)
+        return x
+
+
+class Block(nn.Module):
+    spec: Spec
+    window_size: int  # 0 = global
+    drop_path: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # NOTE: `train` is positional (not kw-only) so nn.remat can mark it
+        # static via static_argnums=(2,).
+        cfg = self.spec.model
+        feat = cfg.feat_size
+        ws = self.window_size
+        if ws > 0:
+            input_size = (ws, ws)
+            scale_pos = 1.0
+        else:
+            input_size = (feat, feat)
+            # rope_pt_size = window_size; interpolate to the global grid
+            scale_pos = (cfg.vit_window_size / feat) if cfg.vit_rope_interp else 1.0
+
+        shortcut = x
+        y = LayerNorm(name="norm1")(x)
+        if ws > 0:
+            hw = (y.shape[1], y.shape[2])
+            y, pad_hw = window_partition(y, ws)
+        y = Attention(
+            self.spec, input_size=input_size, rope_scale_pos=scale_pos, name="attn"
+        )(y, train=train)
+        if ws > 0:
+            y = window_unpartition(y, ws, pad_hw, hw)
+        x = shortcut + DropPath(self.drop_path, name="drop_path1")(y, train=train)
+
+        y = LayerNorm(name="norm2")(x)
+        y = TimmMlp(cfg.vit_mlp_hidden, cfg.vit_dim, self.spec, name="mlp")(
+            y, train=train
+        )
+        x = x + DropPath(self.drop_path, name="drop_path2")(y, train=train)
+        return x
+
+
+class ViT(nn.Module):
+    """Returns the final stride-14 feature map (B, C, H/14, W/14)."""
+
+    spec: Spec
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        cfg = self.spec.model
+        feat = cfg.feat_size
+        x = PatchEmbed(self.spec, name="patch_embed")(x)  # (B, h, w, C)
+
+        if cfg.vit_use_abs_pos:
+            pre = cfg.vit_pretrain_img_size // cfg.patch_size
+            pos_embed = self.param(
+                "pos_embed",
+                lecun_trunc_normal(0.02),
+                (1, pre * pre + 1, cfg.vit_dim),  # +1 cls slot (pretrain ckpt)
+                self.spec.param_dtype,
+            )
+            grid = pos_embed[:, 1:].reshape(1, pre, pre, cfg.vit_dim)
+            if cfg.vit_tile_abs_pos:
+                reps = (feat + pre - 1) // pre
+                tiled = jnp.tile(grid, (1, reps, reps, 1))[:, :feat, :feat]
+            else:
+                from ..ops.interpolate import resize_bilinear
+
+                tiled = jnp.transpose(
+                    resize_bilinear(
+                        jnp.transpose(grid, (0, 3, 1, 2)), (feat, feat)
+                    ),
+                    (0, 2, 3, 1),
+                )
+            x = x + tiled.astype(x.dtype)
+
+        if cfg.vit_ln_pre:
+            x = LayerNorm(name="ln_pre")(x)
+
+        dpr = np.linspace(0.0, cfg.vit_drop_path_rate, cfg.vit_depth)
+        # per-block activation rematerialization in training (the reference
+        # wraps each block in torch checkpoint, vitdet.py:836-838); nn.remat
+        # keeps the parameter tree identical to the plain Block
+        block_cls = nn.remat(Block, static_argnums=(2,)) if train else Block
+        for i in range(cfg.vit_depth):
+            ws = 0 if i in cfg.vit_global_blocks else cfg.vit_window_size
+            x = block_cls(
+                self.spec, window_size=ws, drop_path=float(dpr[i]), name=f"blocks.{i}"
+            )(x, train)
+        # ln_post is Identity in SAM3 (model_builder.py:92)
+        return jnp.transpose(x, (0, 3, 1, 2))  # (B, C, h, w)

@@ -1,0 +1,333 @@
+"""COCO-format data pipeline (host side) with static-shape batching.
+
+Re-design of the reference's data path for the native LoRA trainer
+(``train_sam3_lora_native.py:46-232`` COCOSegmentDataset +
+``sam3/train/data/collator.py`` collate_fn_api): per image —
+
+* decode + bilinear-resize to 1008^2, normalize mean/std 0.5,
+* decode polygon/RLE masks at original res, nearest-resize to 1008^2
+  (reference semantics), then area-downsample to ``mask_loss_resolution``
+  for the mask loss,
+* boxes scaled + normalized to [0, 1] xyxy -> cxcywh,
+* category-aware query text: the single (or most common) category name
+  lowercased, "object" if no annotations (train_sam3_lora_native.py:196-210).
+
+Batching is fully static: targets pad to ``max_targets`` slots with validity
+masks (replacing pad-to-longest), so the TPU train step compiles once.
+
+Throughput design: decoding runs in a thread pool ahead of the training loop
+(double-buffered prefetch) — JPEG decode + mask rasterization overlap with
+device compute, mirroring the reference's DataLoader workers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+from collections import Counter
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import ModelConfig
+from ..models.geometry import GeoPrompt
+from ..models.sam3_image import Batch, Targets
+from ..models.tokenizer import SimpleTokenizer, get_default_tokenizer
+from ..ops.rle import segmentation_to_mask
+
+IMAGE_MEAN = 0.5
+IMAGE_STD = 0.5
+
+
+@dataclass
+class Sample:
+    """One decoded query: image + padded targets + query text."""
+
+    image: np.ndarray          # (3, R, R) float32 normalized
+    text: str
+    boxes: np.ndarray          # (T, 4) normalized cxcywh
+    valid: np.ndarray          # (T,) bool
+    masks: np.ndarray          # (T, m, m) float32 {0,1}
+    mask_valid: np.ndarray     # (T,) bool
+    is_exhaustive: bool
+    coco_image_id: int
+    original_size: Tuple[int, int]  # (h, w)
+
+
+def downsample_mask(mask: np.ndarray, out: int) -> np.ndarray:
+    """Area-average downsample then threshold at 0.5 (matches the eval GT
+    path, validate_sam3_lora.py:463-533)."""
+    h, w = mask.shape
+    if h == out and w == out:
+        return mask.astype(np.float32)
+    fy, fx = h // out, w // out
+    if fy * out == h and fx * out == w:
+        m = mask[: fy * out, : fx * out].reshape(out, fy, out, fx).mean(axis=(1, 3))
+    else:  # generic fallback via PIL bilinear
+        from PIL import Image
+
+        m = np.asarray(
+            Image.fromarray((mask * 255).astype(np.uint8)).resize(
+                (out, out), Image.BILINEAR
+            ),
+            dtype=np.float32,
+        ) / 255.0
+    return (m > 0.5).astype(np.float32)
+
+
+class COCOSegmentDataset:
+    """Reads ``<data_dir>/<split>/_annotations.coco.json`` (Roboflow layout)."""
+
+    def __init__(
+        self,
+        data_dir: str,
+        split: str = "train",
+        model_config: Optional[ModelConfig] = None,
+    ):
+        self.cfg = model_config or ModelConfig()
+        self.split_dir = Path(data_dir) / split
+        ann_file = self.split_dir / "_annotations.coco.json"
+        if not ann_file.exists():
+            raise FileNotFoundError(f"COCO annotation file not found: {ann_file}")
+        with open(ann_file) as f:
+            self.coco = json.load(f)
+        self.images = {im["id"]: im for im in self.coco["images"]}
+        self.image_ids = sorted(self.images.keys())
+        self.img_to_anns: Dict[int, List[dict]] = {}
+        for ann in self.coco["annotations"]:
+            self.img_to_anns.setdefault(ann["image_id"], []).append(ann)
+        self.categories = {c["id"]: c["name"] for c in self.coco["categories"]}
+
+    def __len__(self) -> int:
+        return len(self.image_ids)
+
+    def load(self, idx: int) -> Sample:
+        from PIL import Image as PILImage
+
+        cfg = self.cfg
+        r = cfg.img_size
+        t_max = cfg.max_targets
+        m_res = cfg.mask_loss_resolution
+
+        img_id = self.image_ids[idx]
+        info = self.images[img_id]
+        pil = PILImage.open(self.split_dir / info["file_name"]).convert("RGB")
+        orig_w, orig_h = pil.size
+        pil = pil.resize((r, r), PILImage.BILINEAR)
+        img = np.asarray(pil, dtype=np.float32) / 255.0
+        img = (img - IMAGE_MEAN) / IMAGE_STD
+        img = img.transpose(2, 0, 1)  # (3, R, R)
+
+        anns = self.img_to_anns.get(img_id, [])
+        boxes = np.zeros((t_max, 4), np.float32)
+        valid = np.zeros((t_max,), bool)
+        masks = np.zeros((t_max, m_res, m_res), np.float32)
+        mask_valid = np.zeros((t_max,), bool)
+        class_names: List[str] = []
+
+        n = 0
+        for ann in anns:
+            if n >= t_max:
+                break
+            bbox = ann.get("bbox")
+            if bbox is None:
+                continue
+            class_names.append(self.categories.get(ann.get("category_id", 0), "object"))
+            x, y, w, h = bbox
+            sx, sy = r / orig_w, r / orig_h
+            x0, y0, x1, y1 = x * sx, y * sy, (x + w) * sx, (y + h) * sy
+            # normalized cxcywh (train_sam3_lora_native.py:131-142)
+            boxes[n] = [
+                (x0 + x1) / 2 / r, (y0 + y1) / 2 / r, (x1 - x0) / r, (y1 - y0) / r,
+            ]
+            valid[n] = True
+            seg = ann.get("segmentation")
+            if seg:
+                try:
+                    m = segmentation_to_mask(seg, orig_h, orig_w)
+                    # nearest to model res then area-downsample to loss res
+                    mr = downsample_mask(m.astype(np.float32), m_res)
+                    masks[n] = mr
+                    mask_valid[n] = True
+                except Exception:
+                    pass
+            n += 1
+
+        if class_names:
+            uniq = set(class_names)
+            text = (
+                class_names[0].lower()
+                if len(uniq) == 1
+                else Counter(class_names).most_common(1)[0][0].lower()
+            )
+        else:
+            text = "object"
+
+        return Sample(
+            image=img,
+            text=text,
+            boxes=boxes,
+            valid=valid,
+            masks=masks,
+            mask_valid=mask_valid,
+            is_exhaustive=True,
+            coco_image_id=img_id,
+            original_size=(orig_h, orig_w),
+        )
+
+
+def collate(
+    samples: Sequence[Sample],
+    tokenizer: Optional[SimpleTokenizer] = None,
+    cfg: Optional[ModelConfig] = None,
+) -> Batch:
+    """Static-shape batch assembly (the reference's collate_fn_api without
+    pad-to-longest: every dim is pre-padded)."""
+    cfg = cfg or ModelConfig()
+    tok = tokenizer or get_default_tokenizer()
+    b = len(samples)
+    images = np.stack([s.image for s in samples])
+    token_ids = tok([s.text for s in samples], context_length=cfg.text_context_length)
+    targets = Targets(
+        boxes=np.stack([s.boxes for s in samples]),
+        valid=np.stack([s.valid for s in samples]),
+        masks=np.stack([s.masks for s in samples]),
+        mask_valid=np.stack([s.mask_valid for s in samples]),
+        is_exhaustive=np.array([s.is_exhaustive for s in samples], bool),
+    )
+    return Batch(
+        images=images,
+        token_ids=token_ids,
+        img_ids=np.arange(b, dtype=np.int32),
+        geo=GeoPrompt(
+            boxes=np.zeros((b, cfg.max_prompt_boxes, 4), np.float32),
+            mask=np.ones((b, cfg.max_prompt_boxes), bool),
+            labels=np.ones((b, cfg.max_prompt_boxes), np.int32),
+        ),
+        targets=targets,
+    )
+
+
+class DataLoader:
+    """Threaded, prefetching loader over a COCOSegmentDataset."""
+
+    def __init__(
+        self,
+        dataset: COCOSegmentDataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_workers: int = 2,
+        drop_last: bool = True,
+        tokenizer: Optional[SimpleTokenizer] = None,
+        prefetch: int = 2,
+    ):
+        self.ds = dataset
+        self.bs = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.tok = tokenizer or get_default_tokenizer()
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.ds)
+        return n // self.bs if self.drop_last else (n + self.bs - 1) // self.bs
+
+    def epoch(self, epoch: Optional[int] = None) -> Iterator[Batch]:
+        if epoch is None:
+            epoch = self._epoch
+            self._epoch += 1
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            np.random.RandomState(self.seed + epoch).shuffle(order)
+        n_batches = len(self)
+        batches_idx = [
+            order[i * self.bs : (i + 1) * self.bs] for i in range(n_batches)
+        ]
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def produce():
+            with ThreadPoolExecutor(max_workers=self.workers) as pool:
+                for idxs in batches_idx:
+                    samples = list(pool.map(self.ds.load, idxs))
+                    q.put(collate(samples, self.tok, self.ds.cfg))
+            q.put(None)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+
+
+# ---------------------------------------------------------------------------
+# Synthetic dataset for tests / benches (no real images needed)
+# ---------------------------------------------------------------------------
+
+
+def make_synthetic_coco(
+    root: str,
+    split: str = "train",
+    num_images: int = 8,
+    img_size: int = 64,
+    category: str = "crack",
+    seed: int = 0,
+) -> str:
+    """Write a tiny COCO dataset of random rectangles (polygon segmentations)."""
+    from PIL import Image as PILImage
+
+    rng = np.random.RandomState(seed)
+    split_dir = Path(root) / split
+    split_dir.mkdir(parents=True, exist_ok=True)
+    images, annotations = [], []
+    ann_id = 1
+    for i in range(num_images):
+        arr = (rng.rand(img_size, img_size, 3) * 80).astype(np.uint8)
+        n_obj = rng.randint(1, 4)
+        for _ in range(n_obj):
+            w = rng.randint(img_size // 8, img_size // 3)
+            h = rng.randint(img_size // 8, img_size // 3)
+            x = rng.randint(0, img_size - w)
+            y = rng.randint(0, img_size - h)
+            arr[y : y + h, x : x + w] = 220
+            annotations.append(
+                {
+                    "id": ann_id,
+                    "image_id": i,
+                    "category_id": 1,
+                    "bbox": [float(x), float(y), float(w), float(h)],
+                    "area": float(w * h),
+                    "iscrowd": 0,
+                    "segmentation": [
+                        [
+                            float(x), float(y), float(x + w), float(y),
+                            float(x + w), float(y + h), float(x), float(y + h),
+                        ]
+                    ],
+                }
+            )
+            ann_id += 1
+        fname = f"img_{i:04d}.jpg"
+        PILImage.fromarray(arr).save(split_dir / fname, quality=90)
+        images.append(
+            {"id": i, "file_name": fname, "width": img_size, "height": img_size}
+        )
+    coco = {
+        "images": images,
+        "annotations": annotations,
+        "categories": [{"id": 1, "name": category}],
+    }
+    with open(split_dir / "_annotations.coco.json", "w") as f:
+        json.dump(coco, f)
+    return str(root)
