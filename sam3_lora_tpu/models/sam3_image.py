@@ -130,7 +130,11 @@ class Sam3Image(nn.Module):
         memory = self.encoder(img_tokens, img_pos, prompt, prompt_mask, train=train)
 
         # --- decoder ---
-        apply_dac = cfg.dac and train
+        # DAC and the matched-seg path follow target presence, not `train`:
+        # the val-loss loop needs the full training output (matching, o2m,
+        # matched masks) but with dropout off (reference validate loop,
+        # train_sam3_lora_native.py:949-1016).
+        apply_dac = cfg.dac and batch.targets is not None
         dec = self.decoder(
             memory, img_pos, prompt, prompt_mask, (h, w),
             apply_dac=apply_dac, train=train,
@@ -195,7 +199,7 @@ class Sam3Image(nn.Module):
 
         # --- segmentation head ---
         last_hs = hs[-1]  # (B, L_q, D)
-        if train and batch.targets is not None:
+        if batch.targets is not None:
             # gather only matched queries' embeddings (o2o last layer + o2m)
             q_o2o = jnp.maximum(out["indices"][-1], 0)               # (B, T)
             sel = [last_hs[jnp.arange(b)[:, None], q_o2o]]

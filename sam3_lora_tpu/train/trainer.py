@@ -1,0 +1,352 @@
+"""LoRA trainer: jitted data-parallel train step, grad accumulation, adapter
+checkpoints, val loop, JSON-lines stats.
+
+Re-design of the reference's native LoRA trainer
+(``train_sam3_lora_native.py:697-1016``) and the relevant slice of the DDP
+``Trainer`` (``sam3/train/trainer.py``): AMP autocast -> bf16 compute dtype in
+the model spec; DDP + no_sync grad accumulation -> one jitted step that
+``lax.scan``s over microbatches and lets XLA insert the gradient psum from
+sharding annotations; GradScaler -> unnecessary (bf16, no fp16 scaling);
+NaN-loss FloatingPointError -> jnp.isfinite guard on the host copy of the loss;
+best/last adapter-only checkpoints + val_stats.json mirror
+``train_sam3_lora_native.py:949-1016``.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import LoRAConfig, ModelConfig, TrainConfig
+from ..models import build_sam3_image_model, init_model
+from ..models.lora import (
+    count_parameters,
+    load_lora_weights,
+    lora_optimizer,
+    save_lora_weights,
+)
+from ..models.sam3_image import Batch
+from ..parallel import batch_sharding, make_mesh, param_shardings, replicated, shard_batch
+from .data import COCOSegmentDataset, DataLoader
+from .losses import LossConfig, compute_losses
+
+log = logging.getLogger("sam3_lora_tpu")
+
+
+def make_lr_schedule(cfg: TrainConfig, steps_per_epoch: int):
+    total = max(1, cfg.num_epochs * steps_per_epoch // max(1, cfg.gradient_accumulation_steps))
+    warmup = min(cfg.warmup_steps, max(total - 1, 1))
+    if cfg.lr_scheduler == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=cfg.learning_rate,
+            warmup_steps=warmup,
+            decay_steps=total,
+            end_value=cfg.learning_rate * 0.01,
+        )
+    if cfg.lr_scheduler == "inverse_sqrt":
+        # reference InverseSquareRootParamScheduler (schedulers.py:6-41)
+        def sched(step):
+            s = jnp.maximum(step, 1)
+            scale = jnp.where(
+                step < warmup,
+                step / jnp.maximum(warmup, 1),
+                jnp.sqrt(warmup / s.astype(jnp.float32)) if warmup > 0 else 1.0 / jnp.sqrt(s.astype(jnp.float32)),
+            )
+            return cfg.learning_rate * scale
+
+        return sched
+    if cfg.lr_scheduler == "constant":
+        return lambda step: cfg.learning_rate
+    raise ValueError(f"unknown lr_scheduler: {cfg.lr_scheduler}")
+
+
+def make_optimizer(params, cfg: TrainConfig, steps_per_epoch: int):
+    sched = make_lr_schedule(cfg, steps_per_epoch)
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adamw(
+            learning_rate=sched,
+            b1=cfg.adam_beta1,
+            b2=cfg.adam_beta2,
+            eps=cfg.adam_epsilon,
+            weight_decay=cfg.weight_decay,
+        ),
+    )
+    return lora_optimizer(tx, params), sched
+
+
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: int = 0
+
+
+def _split_microbatches(batch: Batch, accum: int) -> Batch:
+    """(B, ...) -> (accum, B/accum, ...) on every leaf for lax.scan."""
+
+    def r(x):
+        if x is None:
+            return None
+        return x.reshape((accum, x.shape[0] // accum) + x.shape[1:])
+
+    return jax.tree_util.tree_map(r, batch)
+
+
+def make_train_step(
+    model,
+    tx,
+    loss_cfg: LossConfig,
+    accum: int = 1,
+    mesh: Optional[Mesh] = None,
+):
+    """Build the jitted train step.
+
+    With ``mesh``: params/opt_state replicated, batch sharded over the data
+    axis; XLA inserts the gradient all-reduce. Grad accumulation scans over
+    leading microbatch axis (reference no_sync accumulation,
+    trainer.py:922-943 — here it is just a scan; nothing to de-synchronize).
+    """
+
+    def loss_fn(params, mb: Batch, rng):
+        out = model.apply(
+            {"params": params}, mb, train=True, rngs={"dropout": rng}
+        )
+        losses = compute_losses(out, mb.targets, loss_cfg)
+        return losses["core_loss"], losses
+
+    def step_fn(params, opt_state, batch: Batch, rng):
+        if accum > 1:
+            mbs = _split_microbatches(batch, accum)
+
+            def scan_body(carry, xs):
+                acc_grads, acc_loss = carry
+                mb, key = xs
+                (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, mb, key
+                )
+                acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
+                return (acc_grads, acc_loss + loss), None
+
+            zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+            keys = jax.random.split(rng, accum)
+            (grads, loss), _ = jax.lax.scan(
+                scan_body, (zero, jnp.float32(0.0)), (mbs, keys)
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+            loss = loss / accum
+            losses = {"core_loss": loss}
+        else:
+            (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, rng
+            )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, losses
+
+    # Shardings are taken from the (committed) inputs: params carry whatever
+    # param_shardings() placed (replicated or fsdp), the batch carries
+    # P("data") from shard_batch(). jit then propagates and XLA inserts the
+    # gradient reduce automatically — no explicit in_shardings needed, and the
+    # same step works single-chip and multi-chip.
+    return jax.jit(step_fn, donate_argnums=(0, 1))
+
+
+def make_eval_step(model, loss_cfg: LossConfig, mesh: Optional[Mesh] = None):
+    del mesh  # shardings come from committed inputs (see make_train_step)
+
+    def step_fn(params, batch: Batch):
+        # train=False: dropout off; matching/DAC/matched-masks still run
+        # because targets are present (see Sam3Image.__call__).
+        out = model.apply({"params": params}, batch, train=False)
+        losses = compute_losses(out, batch.targets, loss_cfg)
+        return losses
+
+    return jax.jit(step_fn)
+
+
+class Trainer:
+    """End-to-end LoRA finetuning driver (CLI: ``sam3_lora_tpu.cli.train``)."""
+
+    def __init__(
+        self,
+        model_cfg: Optional[ModelConfig] = None,
+        lora_cfg: Optional[LoRAConfig] = None,
+        train_cfg: Optional[TrainConfig] = None,
+        base_checkpoint: Optional[str] = None,
+        mesh: Optional[Mesh] = None,
+        loss_cfg: Optional[LossConfig] = None,
+    ):
+        self.mcfg = model_cfg or ModelConfig()
+        self.lcfg = lora_cfg or LoRAConfig()
+        self.tcfg = train_cfg or TrainConfig()
+        self.loss_cfg = loss_cfg or LossConfig()
+        if mesh is None:
+            # largest device count that divides the global batch (batch is
+            # sharded over the data axis; leftover devices idle rather than
+            # erroring — single-chip: mesh of 1)
+            n_dev = len(jax.devices())
+            bs = self.tcfg.batch_size
+            n = max(d for d in range(1, n_dev + 1) if bs % d == 0)
+            mesh = make_mesh(n_devices=n)
+            if n < n_dev:
+                log.warning(
+                    "batch_size %d not divisible by %d devices; using %d-device mesh",
+                    bs, n_dev, n,
+                )
+        self.mesh = mesh
+        self.model = build_sam3_image_model(self.mcfg, lora=self.lcfg)
+        self.base_checkpoint = base_checkpoint
+        self.rng = jax.random.PRNGKey(self.tcfg.seed)
+
+        os.makedirs(self.tcfg.output_dir, exist_ok=True)
+        self._stats_f: Dict[str, Any] = {}
+
+    # ------------------------------------------------------------------ #
+    def setup(self, steps_per_epoch: int):
+        rep = replicated(self.mesh)
+        with self.mesh:
+            init_rng, self.rng = jax.random.split(self.rng)
+            params = init_model(self.model, init_rng, train=False)
+        if self.base_checkpoint:
+            from ..utils.checkpoint import load_base_checkpoint
+
+            params, n = load_base_checkpoint(params, self.base_checkpoint)
+            log.info("loaded %d base tensors from %s", n, self.base_checkpoint)
+        params = jax.device_put(params, param_shardings(params, self.mesh))
+        stats = count_parameters(params)
+        log.info(
+            "params: total=%s trainable=%s (%.2f%%)",
+            f"{stats['total_parameters']:,}",
+            f"{stats['trainable_parameters']:,}",
+            stats["trainable_percentage"],
+        )
+        self.tx, self.sched = make_optimizer(params, self.tcfg, steps_per_epoch)
+        opt_state = jax.device_put(self.tx.init(params), rep)
+        self.state = TrainState(params=params, opt_state=opt_state)
+        self.train_step = make_train_step(
+            self.model, self.tx, self.loss_cfg,
+            accum=self.tcfg.gradient_accumulation_steps, mesh=self.mesh,
+        )
+        self.eval_step = make_eval_step(self.model, self.loss_cfg, mesh=self.mesh)
+        return stats
+
+    # ------------------------------------------------------------------ #
+    def _write_stats(self, name: str, record: Dict[str, Any]):
+        path = os.path.join(self.tcfg.output_dir, f"{name}.json")
+        with open(path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+    # ------------------------------------------------------------------ #
+    def fit(
+        self,
+        train_loader: DataLoader,
+        val_loader: Optional[DataLoader] = None,
+        num_epochs: Optional[int] = None,
+    ) -> Dict[str, Any]:
+        epochs = num_epochs or self.tcfg.num_epochs
+        if not hasattr(self, "state"):
+            self.setup(steps_per_epoch=len(train_loader))
+
+        best_val = float("inf")
+        history = {"train_loss": [], "val_loss": []}
+        global_step = 0
+        t_start = time.time()
+
+        for epoch in range(epochs):
+            epoch_losses = []
+            t_epoch = time.time()
+            t_data = 0.0
+            t_iter = time.time()
+            with self.mesh:
+                for batch in train_loader.epoch(epoch):
+                    t_data += time.time() - t_iter
+                    batch = shard_batch(batch, self.mesh)
+                    self.rng, sub = jax.random.split(self.rng)
+                    self.state.params, self.state.opt_state, losses = self.train_step(
+                        self.state.params, self.state.opt_state, batch, sub
+                    )
+                    global_step += 1
+                    if global_step % self.tcfg.logging_steps == 0 or global_step == 1:
+                        loss = float(losses["core_loss"])
+                        if not np.isfinite(loss):
+                            raise FloatingPointError(
+                                f"Loss is {loss} at step {global_step}"
+                            )
+                        epoch_losses.append(loss)
+                        lr = float(self.sched(global_step))
+                        log.info(
+                            "epoch %d step %d loss %.4f lr %.2e data_t %.2fs",
+                            epoch, global_step, loss, lr, t_data,
+                        )
+                        self._write_stats(
+                            "train_stats",
+                            {
+                                "epoch": epoch,
+                                "step": global_step,
+                                "loss": loss,
+                                "lr": lr,
+                                "data_time_s": round(t_data, 3),
+                                "elapsed_s": round(time.time() - t_start, 1),
+                            },
+                        )
+                    t_iter = time.time()
+
+            train_loss = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
+            history["train_loss"].append(train_loss)
+            log.info(
+                "epoch %d done in %.1fs train_loss %.4f",
+                epoch, time.time() - t_epoch, train_loss,
+            )
+
+            if val_loader is not None:
+                val_loss = self.evaluate(val_loader)
+                history["val_loss"].append(val_loss)
+                self._write_stats(
+                    "val_stats",
+                    {"epoch": epoch, "val_loss": val_loss, "train_loss": train_loss},
+                )
+                if val_loss < best_val:
+                    best_val = val_loss
+                    self.save_adapters("best_lora.npz")
+            self.save_adapters("last_lora.npz")
+
+        return {
+            "history": history,
+            "best_val_loss": best_val,
+            "steps": global_step,
+            "wall_s": time.time() - t_start,
+        }
+
+    # ------------------------------------------------------------------ #
+    def evaluate(self, val_loader: DataLoader) -> float:
+        losses = []
+        with self.mesh:
+            for batch in val_loader.epoch(0):
+                batch = shard_batch(batch, self.mesh)
+                out = self.eval_step(self.state.params, batch)
+                losses.append(float(out["core_loss"]))
+        return float(np.mean(losses)) if losses else float("nan")
+
+    # ------------------------------------------------------------------ #
+    def save_adapters(self, filename: str) -> str:
+        path = os.path.join(self.tcfg.output_dir, filename)
+        tmp = path + ".tmp.npz"  # np.savez appends .npz to foreign suffixes
+        save_lora_weights(self.state.params, tmp)
+        os.replace(tmp, path)  # atomic, reference trainer.py:381-398
+        return path
+
+    def load_adapters(self, path: str) -> int:
+        self.state.params, n = load_lora_weights(self.state.params, path)
+        return n
