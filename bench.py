@@ -29,10 +29,14 @@ def main():
     import numpy as np
 
     from sam3_lora_tpu.config import LoRAConfig, ModelConfig, TrainConfig
-    from sam3_lora_tpu.models import build_sam3_image_model, init_model
+    from sam3_lora_tpu.models import build_sam3_image_model, init_model_fast
     from sam3_lora_tpu.models.builder import dummy_batch
     from sam3_lora_tpu.train.losses import LossConfig
-    from sam3_lora_tpu.train.trainer import make_optimizer, make_train_step
+    from sam3_lora_tpu.train.trainer import (
+        make_optimizer,
+        make_train_step,
+        split_trainable,
+    )
 
     batch_size = int(os.environ.get("BENCH_BATCH", "8"))
     steps = int(os.environ.get("BENCH_STEPS", "10"))
@@ -63,20 +67,21 @@ def main():
         )
     )
 
-    params = init_model(model, jax.random.PRNGKey(0))
-    tx, _ = make_optimizer(params, TrainConfig(num_epochs=1), steps_per_epoch=steps)
-    opt_state = tx.init(params)
+    params = init_model_fast(model)
+    trainable, frozen = split_trainable(params)
+    tx, _ = make_optimizer(TrainConfig(num_epochs=1), steps_per_epoch=steps)
+    opt_state = tx.init(trainable)
     step = make_train_step(model, tx, LossConfig())
 
     key = jax.random.PRNGKey(1)
     # warmup / compile
-    params, opt_state, losses = step(params, opt_state, batch, key)
+    trainable, opt_state, losses = step(trainable, frozen, opt_state, batch, key)
     jax.block_until_ready(losses["core_loss"])
 
     t0 = time.time()
     for i in range(steps):
         key, sub = jax.random.split(key)
-        params, opt_state, losses = step(params, opt_state, batch, sub)
+        trainable, opt_state, losses = step(trainable, frozen, opt_state, batch, sub)
     jax.block_until_ready(losses["core_loss"])
     dt = time.time() - t0
 

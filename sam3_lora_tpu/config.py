@@ -104,6 +104,11 @@ class ModelConfig:
     # --- numerics ---
     dtype: str = "float32"            # compute dtype ("bfloat16" on TPU)
     param_dtype: str = "float32"
+    use_flash_attention: bool = True  # Pallas fused attention on TPU
+    # covers both the 5184-token global/fusion attention and the 576-token
+    # windowed ViT attention (72 windows x 16 heads of f32 logits is 1.6 GB
+    # at batch 8 otherwise); shorter decoder/text attention stays on XLA
+    flash_attention_min_seq: int = 512
 
     @property
     def feat_size(self) -> int:

@@ -73,3 +73,24 @@ def init_model(
     rngs = {"params": rng, "dropout": jax.random.fold_in(rng, 1)}
     variables = model.init(rngs, batch, train=train)
     return variables["params"]
+
+
+def init_model_fast(model: Sam3Image, seed: int = 0, scale: float = 0.02):
+    """Host-side parameter materialization: shapes/dtypes from ``eval_shape``
+    (no device compute), values small-random numpy. For benchmarks and
+    compile checks where the 848M on-device random init (~minutes through a
+    remote tunnel) is pure overhead; real training loads converted weights."""
+    import numpy as np
+
+    cfg = model.spec.model
+    batch = dummy_batch(cfg)
+    shapes = jax.eval_shape(
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, batch, train=False)
+    )["params"]
+    rng = np.random.RandomState(seed)
+
+    def fill(leaf):
+        a = rng.standard_normal(leaf.shape).astype(np.float32) * scale
+        return jnp.asarray(a, dtype=leaf.dtype)
+
+    return jax.tree_util.tree_map(fill, shapes)

@@ -28,8 +28,8 @@ from flax import linen as nn
 from flax import struct
 
 from ..ops.boxes import box_cxcywh_to_xyxy
-from ..ops.posenc import encode_boxes
-from ..ops.sampling import roi_align
+from ..ops.posenc import encode_boxes, encode_xy
+from ..ops.sampling import grid_sample, roi_align
 from .fusion_encoder import EncoderLayer
 from .layers import Conv2d, Embedding, LayerNorm, LoRALinear, Spec
 
@@ -40,18 +40,34 @@ class GeoPrompt:
 
     boxes: (B, P, 4) normalized cxcywh; mask: (B, P) True = padding;
     labels: (B, P) int32, 1 = positive, 0 = negative.
+    points: (B, Pp, 2) normalized xy; points_mask/points_labels likewise.
     """
 
     boxes: jnp.ndarray
     mask: jnp.ndarray
     labels: jnp.ndarray
+    points: Optional[jnp.ndarray] = None
+    points_mask: Optional[jnp.ndarray] = None
+    points_labels: Optional[jnp.ndarray] = None
 
     @staticmethod
-    def empty(batch: int, num_slots: int) -> "GeoPrompt":
+    def empty(
+        batch: int, num_slots: int, num_points: int = 0
+    ) -> "GeoPrompt":
         return GeoPrompt(
             boxes=jnp.zeros((batch, num_slots, 4), jnp.float32),
             mask=jnp.ones((batch, num_slots), jnp.bool_),
             labels=jnp.ones((batch, num_slots), jnp.int32),
+            points=(
+                jnp.zeros((batch, num_points, 2), jnp.float32)
+                if num_points else None
+            ),
+            points_mask=(
+                jnp.ones((batch, num_points), jnp.bool_) if num_points else None
+            ),
+            points_labels=(
+                jnp.ones((batch, num_points), jnp.int32) if num_points else None
+            ),
         )
 
 
@@ -108,12 +124,50 @@ class GeometryEncoder(nn.Module):
         label_embed = Embedding(2, d, sp, name="label_embed")
         emb = direct + pooled + pe + label_embed(jnp.clip(prompt.labels, 0, 1))
 
+        # --- point embedding: direct + grid-sample pool + sine PE
+        # (geometry_encoders.py:600-641) — always instantiate the projections
+        # so the param namespace matches the reference checkpoint even when no
+        # point prompts are given.
+        pts_direct = LoRALinear(d, sp, name="points_direct_project")
+        pts_pool = LoRALinear(d, sp, name="points_pool_project")
+        pts_pe = LoRALinear(d, sp, name="points_pos_enc_project")
+        has_points = prompt.points is not None and prompt.points.shape[1] > 0
+        if has_points:
+            pts = prompt.points  # (B, Pp, 2) normalized xy
+            p_direct = pts_direct(pts.astype(sp.dtype), train=train)
+            # grid_sample expects [-1, 1] coords (align_corners=False)
+            grid = (pts * 2.0 - 1.0)[:, :, None, :]  # (B, Pp, 1, 2)
+            sampled = grid_sample(feats_grid.astype(jnp.float32), grid)
+            sampled = sampled[..., 0].transpose(0, 2, 1)  # (B, Pp, D)
+            p_pool = pts_pool(sampled.astype(sp.dtype), train=train)
+            # encode_xy(npf=d) yields d/2 per coordinate; concat -> d
+            ex, ey = encode_xy(pts[..., 0], pts[..., 1], num_pos_feats=d)
+            p_pe = pts_pe(
+                jnp.concatenate([ex, ey], -1).astype(sp.dtype), train=train
+            )
+            p_emb = p_direct + p_pool + p_pe + label_embed(
+                jnp.clip(prompt.points_labels, 0, 1)
+            )
+        else:
+            # materialize params without contributing to the graph
+            zero2 = jnp.zeros((b, 0, 2), sp.dtype)
+            zerod = jnp.zeros((b, 0, d), sp.dtype)
+            pts_direct(zero2, train=train)
+            pts_pool(zerod, train=train)
+            pts_pe(zerod, train=train)
+            p_emb = jnp.zeros((b, 0, d), emb.dtype)
+
         # --- CLS token (always valid; guarantees a non-empty sequence)
         cls = Embedding(1, d, sp, name="cls_embed")()  # (1, D)
         cls = jnp.broadcast_to(cls[None], (b, 1, d))
-        seq = jnp.concatenate([emb, cls], axis=1)            # (B, P+1, D)
+        seq = jnp.concatenate([emb, p_emb, cls], axis=1)     # (B, P+Pp+1, D)
+        point_mask = (
+            prompt.points_mask
+            if has_points
+            else jnp.ones((b, 0), jnp.bool_)
+        )
         mask = jnp.concatenate(
-            [prompt.mask, jnp.zeros((b, 1), jnp.bool_)], axis=1
+            [prompt.mask, point_mask, jnp.zeros((b, 1), jnp.bool_)], axis=1
         )
 
         # zero out padded slots so no NaN/garbage leaks through residuals

@@ -115,8 +115,18 @@ class LoRALinear(nn.Module):
                 keep = 1.0 - lcfg.dropout
                 mask = jax.random.bernoulli(self.make_rng("dropout"), keep, x.shape)
                 xin = jnp.where(mask, x / keep, 0.0)
-            # fp32 LoRA math (adapters train in fp32 even under bf16 compute)
-            delta = (xin.astype(jnp.float32) @ lora_a) @ lora_b
+            # adapters are STORED fp32 but the skinny matmuls run in the
+            # compute dtype with fp32 accumulation (an fp32 activation copy
+            # here would dominate train-step memory; the reference's AMP
+            # autocasts its LoRA matmuls to bf16 the same way)
+            delta = jnp.dot(
+                jnp.dot(
+                    xin.astype(dtype), lora_a.astype(dtype),
+                    preferred_element_type=jnp.float32,
+                ).astype(dtype),
+                lora_b.astype(dtype),
+                preferred_element_type=jnp.float32,
+            )
             y = y + (delta * (lcfg.alpha / rank)).astype(y.dtype)
         return y
 
@@ -316,7 +326,13 @@ class MultiHeadAttention(nn.Module):
         kh = split_heads(k, self.num_heads)
         vh = split_heads(v, self.num_heads)
 
-        if self.dropout > 0.0 and train:
+        mcfg = self.spec.model
+        long_seq = (
+            mcfg.use_flash_attention
+            and qh.shape[2] >= mcfg.flash_attention_min_seq
+            and kh.shape[2] >= mcfg.flash_attention_min_seq
+        )
+        if self.dropout > 0.0 and train and not long_seq:
             # attention-prob dropout (torch MHA semantics): do softmax here
             logits = jnp.einsum(
                 "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
@@ -332,9 +348,25 @@ class MultiHeadAttention(nn.Module):
                 "bhqk,bhkd->bhqd", probs.astype(vh.dtype), vh,
                 preferred_element_type=jnp.float32,
             ).astype(vh.dtype)
-        else:
+        elif self.dropout > 0.0 and train and long_seq:
+            # fused path can't materialize the (L, L) probs for exact
+            # prob-dropout (that tensor is the 6.5 GB the kernel exists to
+            # avoid); approximate with dropout on the attention OUTPUT — same
+            # expectation, applied post V-mix. Exact semantics retained for
+            # every short sequence.
             out = dot_product_attention(
-                qh, kh, vh, bias=attn_bias, key_padding_mask=key_padding_mask
+                qh, kh, vh, bias=attn_bias, key_padding_mask=key_padding_mask,
+                impl="pallas",
+            )
+            keep = 1.0 - self.dropout
+            mask = jax.random.bernoulli(self.make_rng("dropout"), keep, out.shape)
+            out = jnp.where(mask, out / keep, jnp.zeros_like(out)).astype(vh.dtype)
+        else:
+            # long self-attention (fusion encoder: 5184 img tokens) goes
+            # through the fused Pallas kernel; short/cross stays on XLA
+            out = dot_product_attention(
+                qh, kh, vh, bias=attn_bias, key_padding_mask=key_padding_mask,
+                impl="pallas" if long_seq else "xla",
             )
         out = merge_heads(out)
         return LoRALinear(d, self.spec, name="out_proj")(out, train=train)

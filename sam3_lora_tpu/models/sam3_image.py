@@ -99,12 +99,29 @@ class Sam3Image(nn.Module):
 
     # ------------------------------------------------------------------ #
     def __call__(self, batch: Batch, *, train: bool = False) -> Dict[str, Any]:
+        feats, poss = self.backbone_image(batch.images, train=train)
+        return self.ground(feats, poss, batch, train=train)
+
+    # ------------------------------------------------------------------ #
+    def ground(
+        self,
+        feats: List[jnp.ndarray],
+        poss: List[jnp.ndarray],
+        batch: Batch,
+        *,
+        train: bool = False,
+    ) -> Dict[str, Any]:
+        """Prompt-conditioned grounding over precomputed image features.
+
+        Split out of ``__call__`` so a stateful processor (reference
+        ``Sam3Processor.set_image``, sam3_image_processor.py:42-78) can run
+        the backbone ONCE per image and re-ground many prompts against the
+        cached features.
+        """
         sp = self.spec
         cfg = sp.model
         b = batch.token_ids.shape[0]
 
-        # --- backbones ---
-        feats, poss = self.backbone_image(batch.images, train=train)
         text_mask, text_tokens = self.language_backbone(batch.token_ids, train=train)
 
         # index per-query image features (img_ids -> batch axis)
@@ -164,38 +181,46 @@ class Sam3Image(nn.Module):
         # --- on-device matching (training) ---
         if batch.targets is not None:
             tgt = batch.targets
-            # all L layers' o2o matchings in one batched JV call
-            out["indices"] = hungarian_match(
-                out["pred_logits"], out["pred_boxes"],
-                jnp.broadcast_to(tgt.boxes, (hs.shape[0],) + tgt.boxes.shape),
-                jnp.broadcast_to(tgt.valid, (hs.shape[0],) + tgt.valid.shape),
-            )  # (L, B, T)
+            L = hs.shape[0]
+            tgt_boxes_l = jnp.broadcast_to(tgt.boxes, (L,) + tgt.boxes.shape)
+            tgt_valid_l = jnp.broadcast_to(tgt.valid, (L,) + tgt.valid.shape)
             if apply_dac:
-                o2m_idx_layers = []
-                o2m_valid_layers = []
-                for li in range(hs.shape[0]):
-                    if li == hs.shape[0] - 1:
-                        qi, qv = one_to_many_match(
-                            out["pred_logits_o2m"][li], out["pred_boxes_o2m"][li],
-                            tgt.boxes, tgt.valid, topk=cfg.o2m_topk,
-                        )
-                    else:
-                        # aux o2m uses the Hungarian matcher
-                        # (use_o2m_matcher_on_o2m_aux=False in the native trainer)
-                        qi = hungarian_match(
-                            out["pred_logits_o2m"][li], out["pred_boxes_o2m"][li],
-                            tgt.boxes, tgt.valid,
-                        )
-                        qv = (qi >= 0)[..., None] & tgt.valid[..., None]
-                        qi = jnp.maximum(qi, 0)[..., None]
-                        # pad K axis to the o2m matcher's K for uniform stacking
-                        k = cfg.o2m_topk
-                        qi = jnp.pad(qi, ((0, 0), (0, 0), (0, k - 1)))
-                        qv = jnp.pad(qv, ((0, 0), (0, 0), (0, k - 1)))
-                    o2m_idx_layers.append(qi)
-                    o2m_valid_layers.append(qv)
-                out["o2m_indices"] = jnp.stack(o2m_idx_layers)      # (L, B, T, K)
-                out["o2m_valid"] = jnp.stack(o2m_valid_layers)      # (L, B, T, K)
+                # ONE batched JV call for o2o (all L layers) AND the aux-o2m
+                # Hungarian matchings (layers 0..L-2; the last o2m layer uses
+                # the greedy DAC matcher). The assignment while-loop has real
+                # per-iteration latency on TPU, so all 11 problems ride one
+                # lock-step vmap instead of 6 sequential dispatches.
+                logits_all = jnp.concatenate(
+                    [out["pred_logits"], out["pred_logits_o2m"][: L - 1]], 0
+                )
+                boxes_all = jnp.concatenate(
+                    [out["pred_boxes"], out["pred_boxes_o2m"][: L - 1]], 0
+                )
+                nprob = 2 * L - 1
+                idx_all = hungarian_match(
+                    logits_all, boxes_all,
+                    jnp.broadcast_to(tgt.boxes, (nprob,) + tgt.boxes.shape),
+                    jnp.broadcast_to(tgt.valid, (nprob,) + tgt.valid.shape),
+                )
+                out["indices"] = idx_all[:L]                         # (L, B, T)
+                aux_qi = idx_all[L:]                                 # (L-1, B, T)
+                k = cfg.o2m_topk
+                aux_qv = (aux_qi >= 0)[..., None] & tgt.valid[None, ..., None]
+                aux_qi = jnp.maximum(aux_qi, 0)[..., None]
+                aux_qi = jnp.pad(aux_qi, ((0, 0), (0, 0), (0, 0), (0, k - 1)))
+                aux_qv = jnp.pad(aux_qv, ((0, 0), (0, 0), (0, 0), (0, k - 1)))
+                last_qi, last_qv = one_to_many_match(
+                    out["pred_logits_o2m"][L - 1], out["pred_boxes_o2m"][L - 1],
+                    tgt.boxes, tgt.valid, topk=k,
+                )
+                out["o2m_indices"] = jnp.concatenate(
+                    [aux_qi, last_qi[None]], 0
+                )  # (L, B, T, K)
+                out["o2m_valid"] = jnp.concatenate([aux_qv, last_qv[None]], 0)
+            else:
+                out["indices"] = hungarian_match(
+                    out["pred_logits"], out["pred_boxes"], tgt_boxes_l, tgt_valid_l
+                )  # (L, B, T)
 
         # --- segmentation head ---
         last_hs = hs[-1]  # (B, L_q, D)

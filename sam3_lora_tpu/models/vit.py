@@ -103,7 +103,14 @@ class Attention(nn.Module):
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
 
-        out = dot_product_attention(q, k, v)
+        # 5184-token global blocks: fused flash attention (13 GB of fp32
+        # logits at bs 8 otherwise). Short/windowed sequences stay on XLA.
+        impl = (
+            "pallas"
+            if cfg.use_flash_attention and l >= cfg.flash_attention_min_seq
+            else "xla"
+        )
+        out = dot_product_attention(q, k, v, impl=impl)
         out = merge_heads(out)
         out = LoRALinear(dim, self.spec, name="proj")(out, train=train)
         return out.reshape(b, h, w, dim)

@@ -29,12 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import LoRAConfig, ModelConfig, TrainConfig
 from ..models import build_sam3_image_model, init_model
-from ..models.lora import (
-    count_parameters,
-    load_lora_weights,
-    lora_optimizer,
-    save_lora_weights,
-)
+from ..models.lora import count_parameters
 from ..models.sam3_image import Batch
 from ..parallel import batch_sharding, make_mesh, param_shardings, replicated, shard_batch
 from .data import COCOSegmentDataset, DataLoader
@@ -71,7 +66,9 @@ def make_lr_schedule(cfg: TrainConfig, steps_per_epoch: int):
     raise ValueError(f"unknown lr_scheduler: {cfg.lr_scheduler}")
 
 
-def make_optimizer(params, cfg: TrainConfig, steps_per_epoch: int):
+def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
+    """AdamW + clip over the TRAINABLE (adapter) subtree only — the train
+    step never materializes frozen grads, so no masking is needed."""
     sched = make_lr_schedule(cfg, steps_per_epoch)
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
@@ -83,14 +80,19 @@ def make_optimizer(params, cfg: TrainConfig, steps_per_epoch: int):
             weight_decay=cfg.weight_decay,
         ),
     )
-    return lora_optimizer(tx, params), sched
+    return tx, sched
 
 
 @dataclass
 class TrainState:
-    params: Any
+    trainable: Any  # tuple-keyed flat dict of adapter leaves
+    frozen: Any     # tuple-keyed flat dict of base leaves
     opt_state: Any
     step: int = 0
+
+    @property
+    def params(self):
+        return merge_trainable(self.trainable, self.frozen)
 
 
 def _split_microbatches(batch: Batch, accum: int) -> Batch:
@@ -104,6 +106,22 @@ def _split_microbatches(batch: Batch, accum: int) -> Batch:
     return jax.tree_util.tree_map(r, batch)
 
 
+def split_trainable(params) -> Tuple[Dict, Dict]:
+    """-> (trainable, frozen): tuple-keyed flat dicts (both are pytrees)."""
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(params)
+    trainable = {k: v for k, v in flat.items() if k[-1] in ("lora_a", "lora_b")}
+    frozen = {k: v for k, v in flat.items() if k[-1] not in ("lora_a", "lora_b")}
+    return trainable, frozen
+
+
+def merge_trainable(trainable: Dict, frozen: Dict):
+    from flax import traverse_util
+
+    return traverse_util.unflatten_dict({**frozen, **trainable})
+
+
 def make_train_step(
     model,
     tx,
@@ -111,22 +129,26 @@ def make_train_step(
     accum: int = 1,
     mesh: Optional[Mesh] = None,
 ):
-    """Build the jitted train step.
+    """Build the jitted train step over (trainable, frozen) param split.
 
-    With ``mesh``: params/opt_state replicated, batch sharded over the data
-    axis; XLA inserts the gradient all-reduce. Grad accumulation scans over
+    Differentiating ONLY w.r.t. the adapter leaves lets XLA dead-code-eliminate
+    every frozen dW matmul and never allocate the 3.4 GB frozen-grad tree (the
+    analogue of the reference's requires_grad=False, trainer memory note
+    README.md:1174-1179). With ``mesh``: shardings are taken from the committed
+    inputs; XLA inserts the gradient all-reduce. Grad accumulation scans over a
     leading microbatch axis (reference no_sync accumulation,
-    trainer.py:922-943 — here it is just a scan; nothing to de-synchronize).
+    trainer.py:922-943).
     """
 
-    def loss_fn(params, mb: Batch, rng):
+    def loss_fn(trainable, frozen, mb: Batch, rng):
+        params = merge_trainable(trainable, frozen)
         out = model.apply(
             {"params": params}, mb, train=True, rngs={"dropout": rng}
         )
         losses = compute_losses(out, mb.targets, loss_cfg)
         return losses["core_loss"], losses
 
-    def step_fn(params, opt_state, batch: Batch, rng):
+    def step_fn(trainable, frozen, opt_state, batch: Batch, rng):
         if accum > 1:
             mbs = _split_microbatches(batch, accum)
 
@@ -134,12 +156,12 @@ def make_train_step(
                 acc_grads, acc_loss = carry
                 mb, key = xs
                 (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                    params, mb, key
+                    trainable, frozen, mb, key
                 )
                 acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
                 return (acc_grads, acc_loss + loss), None
 
-            zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+            zero = jax.tree_util.tree_map(jnp.zeros_like, trainable)
             keys = jax.random.split(rng, accum)
             (grads, loss), _ = jax.lax.scan(
                 scan_body, (zero, jnp.float32(0.0)), (mbs, keys)
@@ -149,26 +171,27 @@ def make_train_step(
             losses = {"core_loss": loss}
         else:
             (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, batch, rng
+                trainable, frozen, batch, rng
             )
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, losses
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, losses
 
     # Shardings are taken from the (committed) inputs: params carry whatever
     # param_shardings() placed (replicated or fsdp), the batch carries
     # P("data") from shard_batch(). jit then propagates and XLA inserts the
     # gradient reduce automatically — no explicit in_shardings needed, and the
     # same step works single-chip and multi-chip.
-    return jax.jit(step_fn, donate_argnums=(0, 1))
+    return jax.jit(step_fn, donate_argnums=(0, 2))
 
 
 def make_eval_step(model, loss_cfg: LossConfig, mesh: Optional[Mesh] = None):
     del mesh  # shardings come from committed inputs (see make_train_step)
 
-    def step_fn(params, batch: Batch):
+    def step_fn(trainable, frozen, batch: Batch):
         # train=False: dropout off; matching/DAC/matched-masks still run
         # because targets are present (see Sam3Image.__call__).
+        params = merge_trainable(trainable, frozen)
         out = model.apply({"params": params}, batch, train=False)
         losses = compute_losses(out, batch.targets, loss_cfg)
         return losses
@@ -232,9 +255,12 @@ class Trainer:
             f"{stats['trainable_parameters']:,}",
             stats["trainable_percentage"],
         )
-        self.tx, self.sched = make_optimizer(params, self.tcfg, steps_per_epoch)
-        opt_state = jax.device_put(self.tx.init(params), rep)
-        self.state = TrainState(params=params, opt_state=opt_state)
+        trainable, frozen = split_trainable(params)
+        self.tx, self.sched = make_optimizer(self.tcfg, steps_per_epoch)
+        opt_state = jax.device_put(self.tx.init(trainable), rep)
+        self.state = TrainState(
+            trainable=trainable, frozen=frozen, opt_state=opt_state
+        )
         self.train_step = make_train_step(
             self.model, self.tx, self.loss_cfg,
             accum=self.tcfg.gradient_accumulation_steps, mesh=self.mesh,
@@ -274,8 +300,13 @@ class Trainer:
                     t_data += time.time() - t_iter
                     batch = shard_batch(batch, self.mesh)
                     self.rng, sub = jax.random.split(self.rng)
-                    self.state.params, self.state.opt_state, losses = self.train_step(
-                        self.state.params, self.state.opt_state, batch, sub
+                    (
+                        self.state.trainable,
+                        self.state.opt_state,
+                        losses,
+                    ) = self.train_step(
+                        self.state.trainable, self.state.frozen,
+                        self.state.opt_state, batch, sub,
                     )
                     global_step += 1
                     if global_step % self.tcfg.logging_steps == 0 or global_step == 1:
@@ -335,7 +366,9 @@ class Trainer:
         with self.mesh:
             for batch in val_loader.epoch(0):
                 batch = shard_batch(batch, self.mesh)
-                out = self.eval_step(self.state.params, batch)
+                out = self.eval_step(
+                    self.state.trainable, self.state.frozen, batch
+                )
                 losses.append(float(out["core_loss"]))
         return float(np.mean(losses)) if losses else float("nan")
 
@@ -343,10 +376,22 @@ class Trainer:
     def save_adapters(self, filename: str) -> str:
         path = os.path.join(self.tcfg.output_dir, filename)
         tmp = path + ".tmp.npz"  # np.savez appends .npz to foreign suffixes
-        save_lora_weights(self.state.params, tmp)
+        np.savez(
+            tmp, **{".".join(k): np.asarray(v) for k, v in self.state.trainable.items()}
+        )
         os.replace(tmp, path)  # atomic, reference trainer.py:381-398
         return path
 
     def load_adapters(self, path: str) -> int:
-        self.state.params, n = load_lora_weights(self.state.params, path)
+        data = np.load(path)
+        by_name = {".".join(k): k for k in self.state.trainable}
+        n = 0
+        for name in data.files:
+            k = by_name.get(name)
+            if k is None:
+                raise KeyError(f"LoRA checkpoint key not in model: {name}")
+            self.state.trainable[k] = jnp.asarray(
+                data[name], dtype=self.state.trainable[k].dtype
+            )
+            n += 1
         return n

@@ -1,0 +1,96 @@
+"""Bisect train-step time: ViT fwd / full eval fwd / train fwd+matching /
+full train step, each jitted and timed on the real chip."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sam3_lora_tpu.config import LoRAConfig, ModelConfig, TrainConfig
+from sam3_lora_tpu.models import build_sam3_image_model, init_model_fast
+from sam3_lora_tpu.models.builder import dummy_batch
+from sam3_lora_tpu.train.losses import LossConfig, compute_losses
+from sam3_lora_tpu.train.trainer import (
+    make_optimizer,
+    make_train_step,
+    merge_trainable,
+    split_trainable,
+)
+
+B = int(os.environ.get("B", "4"))
+REPS = int(os.environ.get("REPS", "5"))
+
+
+def bench_fn(name, fn, *args):
+    t0 = time.time()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    compile_t = time.time() - t0
+    t0 = time.time()
+    for _ in range(REPS):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / REPS
+    print(f"{name:34s} compile {compile_t:7.1f}s   steady {dt * 1e3:9.1f} ms")
+    return dt
+
+
+def main():
+    cfg = ModelConfig(dtype="bfloat16")
+    lcfg = LoRAConfig(
+        rank=32, alpha=64.0,
+        target_modules=("q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2",
+                        "linear1", "linear2"),
+        apply_to_geometry_encoder=True, apply_to_mask_decoder=True,
+    )
+    model = build_sam3_image_model(cfg, lora=lcfg)
+    rng = np.random.RandomState(0)
+    batch_t = dummy_batch(cfg, batch_size=B, with_targets=True)
+    batch_t = batch_t.replace(
+        images=jnp.asarray(rng.randn(B, 3, cfg.img_size, cfg.img_size), jnp.float32)
+    )
+    batch_e = batch_t.replace(targets=None)
+    params = init_model_fast(model)
+    trainable, frozen = split_trainable(params)
+
+    # 1. ViT trunk forward only
+    vit_fwd = jax.jit(
+        lambda p, x: model.apply(
+            {"params": p}, x, train=False,
+            method=lambda m, img, train: m.trunk(img, train=train),
+        )
+    )
+    bench_fn("vit_fwd (eval)", vit_fwd, params, batch_t.images)
+
+    # 2. full eval forward
+    eval_fwd = jax.jit(
+        lambda p, b: model.apply({"params": p}, b, train=False)["pred_logits"]
+    )
+    bench_fn("full_fwd (eval, no targets)", eval_fwd, params, batch_e)
+
+    # 3. train-mode forward incl. on-device matching + loss (no grad)
+    def fwd_loss(p, b, key):
+        out = model.apply({"params": p}, b, train=True, rngs={"dropout": key})
+        return compute_losses(out, b.targets, LossConfig())["core_loss"]
+
+    floss = jax.jit(fwd_loss)
+    bench_fn("train_fwd + matching + loss", floss, params, batch_t, jax.random.PRNGKey(0))
+
+    # 4. full train step (fwd+bwd+opt)
+    tx, _ = make_optimizer(TrainConfig(num_epochs=1), steps_per_epoch=10)
+    opt_state = tx.init(trainable)
+    step = make_train_step(model, tx, LossConfig())
+    dt = bench_fn(
+        "full train step", lambda t, f, o, b, k: step(t, f, o, b, k)[2]["core_loss"],
+        trainable, frozen, opt_state, batch_t, jax.random.PRNGKey(1),
+    )
+    print(f"train img/s/chip: {B / dt:.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,246 @@
+"""Numerical parity vs the reference PyTorch implementation.
+
+Builds the FULL reference SAM3 image model (random init, CPU), converts its
+state dict through ``scripts/convert_checkpoint.py``, loads it into our flax
+model, and compares module-level and end-to-end outputs at fp32. This
+simultaneously validates (a) the architecture re-implementation and (b) the
+checkpoint converter — the two halves of "a real facebook/sam3 checkpoint
+will load and reproduce reference outputs".
+
+Runs only where /root/reference is mounted (development oracle; skipped
+elsewhere).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from ref_oracle import HAS_REF, cuda_to_cpu, import_ref
+
+pytestmark = pytest.mark.skipif(not HAS_REF, reason="reference not mounted")
+
+BPE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "sam3_lora_tpu", "assets", "bpe_simple_vocab_16e6.txt.gz",
+)
+
+
+@pytest.fixture(scope="module")
+def ref_model():
+    import torch
+
+    torch.manual_seed(0)
+    mb = import_ref("sam3.model_builder")
+    with cuda_to_cpu():
+        model = mb.build_sam3_image_model(
+            device="cpu", load_from_HF=False, bpe_path=BPE, eval_mode=True
+        )
+    model.eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def our_params(ref_model):
+    """Reference random weights converted into our full-size param tree."""
+    scripts = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+    )
+    sys.path.insert(0, scripts)
+    from convert_checkpoint import convert_state_dict, our_param_shapes
+
+    sd = {k: v.numpy() for k, v in ref_model.state_dict().items()}
+    shapes = our_param_shapes()
+    flat = convert_state_dict(sd, shapes, strict=True)
+
+    from flax import traverse_util
+
+    by_name = {}
+    # rebuild tuple-keyed tree from the shape table's source tree
+    from sam3_lora_tpu.config import ModelConfig
+    from sam3_lora_tpu.models import build_sam3_image_model
+    from sam3_lora_tpu.models.builder import dummy_batch
+
+    cfg = ModelConfig()
+    model = build_sam3_image_model(cfg)
+    batch = dummy_batch(cfg)
+    tree = jax.eval_shape(
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, batch, train=False)
+    )["params"]
+    tflat = traverse_util.flatten_dict(tree)
+    out = {}
+    for k in tflat:
+        name = ".".join(k)
+        out[k] = jnp.asarray(flat[name], jnp.float32)
+    return cfg, model, traverse_util.unflatten_dict(out)
+
+
+class TestConverterCoverage:
+    def test_full_coverage_strict(self, our_params):
+        # strict conversion already asserts bijective coverage; reaching here
+        # means every reference tensor mapped and every model param is filled.
+        cfg, model, params = our_params
+        from flax import traverse_util
+
+        n = len(traverse_util.flatten_dict(params))
+        assert n > 1000
+
+
+def _torch_fwd_vit(ref_model, x):
+    import torch
+
+    with torch.no_grad():
+        trunk = ref_model.backbone.vision_backbone.trunk
+        return trunk(torch.from_numpy(x))
+
+
+class TestBackboneParity:
+    def test_vit_trunk(self, ref_model, our_params):
+        """Full 32-block ViT @ a reduced 336^2 input... too slow; use 1008^2?
+        No: run the real 1008^2 once — ~30 s CPU each side, done once."""
+        cfg, model, params = our_params
+        rng = np.random.RandomState(0)
+        x = rng.randn(1, 3, cfg.img_size, cfg.img_size).astype(np.float32)
+
+        ref_out = _torch_fwd_vit(ref_model, x)
+        ref_np = ref_out[0].numpy() if isinstance(ref_out, (list, tuple)) else ref_out.numpy()
+
+        ours = model.apply(
+            {"params": params}, jnp.asarray(x), train=False,
+            method=lambda m, img, train: m.trunk(img, train=train),
+        )
+        ours_np = np.asarray(ours, np.float32)
+        # reference returns (B, H, W, C) or (B, C, H, W)?
+        if ref_np.shape != ours_np.shape:
+            ref_np = np.transpose(ref_np, (0, 3, 1, 2))
+        assert ref_np.shape == ours_np.shape
+        diff = np.abs(ref_np - ours_np).max()
+        scale = np.abs(ref_np).max()
+        assert diff / scale < 2e-4, f"ViT mismatch: max abs {diff} vs scale {scale}"
+
+    def test_tokenizer_matches_reference(self, ref_model):
+        from sam3_lora_tpu.models.tokenizer import get_default_tokenizer
+
+        tok = get_default_tokenizer()
+        texts = ["concrete crack", "a photo of a dog", "", "Straße café 123!"]
+        ours = np.asarray(tok(texts, context_length=32))
+        ref = (
+            ref_model.backbone.language_backbone.tokenizer(texts, context_length=32)
+            .numpy()
+        )
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_text_encoder(self, ref_model, our_params):
+        import torch
+
+        cfg, model, params = our_params
+        from sam3_lora_tpu.models.tokenizer import get_default_tokenizer
+
+        texts = ["concrete crack", "a photo of a dog"]
+        tok = get_default_tokenizer()
+        ids = np.asarray(tok(texts, context_length=cfg.text_context_length))
+
+        with torch.no_grad():
+            # reference tokenizes internally from raw strings
+            ref_mask, ref_mem, _ = ref_model.backbone.language_backbone(texts)
+        ref_np = ref_mem.numpy().transpose(1, 0, 2)  # seq-first -> batch-first
+
+        mask, tokens = model.apply(
+            {"params": params}, jnp.asarray(ids), train=False,
+            method=lambda m, i, train: m.language_backbone(i, train=train),
+        )
+        ours_np = np.asarray(tokens, np.float32)
+        assert ref_np.shape == ours_np.shape
+        assert np.isfinite(ref_np).all(), "reference text encoder produced NaN"
+        assert np.isfinite(ours_np).all(), "our text encoder produced NaN"
+        diff = np.abs(ref_np - ours_np).max()
+        scale = np.abs(ref_np).max() + 1e-9
+        assert diff / scale < 2e-4, f"text mismatch: {diff} vs {scale}"
+        # padding masks agree (reference: True = padding)
+        np.testing.assert_array_equal(
+            np.asarray(mask), ref_mask.numpy()
+        )
+
+
+class TestEndToEndParity:
+    def test_full_forward(self, ref_model, our_params):
+        """Full eval forward vs reference on the same preprocessed 1008^2
+        tensor and prompt: final-layer logits / boxes / presence / masks.
+        Transitively validates neck, geometry CLS path, fusion encoder,
+        decoder (boxRPB, presence), seg head, scorer and the converter."""
+        import torch
+
+        cfg, model, params = our_params
+        rng_np = np.random.RandomState(7)
+        img = rng_np.randn(1, 3, cfg.img_size, cfg.img_size).astype(np.float32)
+        prompt = "concrete crack"
+
+        # ---- reference forward via its own collator (oracle-only path)
+        ds_mod = import_ref("sam3.train.data.sam3_image_dataset")
+        col_mod = import_ref("sam3.train.data.collator")
+        sam_image = ds_mod.Image(
+            data=torch.from_numpy(img[0]), objects=[],
+            size=[cfg.img_size, cfg.img_size],
+        )
+        query = ds_mod.FindQueryLoaded(
+            query_text=prompt, image_id=0, object_ids_output=[],
+            is_exhaustive=True, query_processing_order=0,
+            inference_metadata=ds_mod.InferenceMetadata(
+                coco_image_id=0, original_image_id=0, original_category_id=1,
+                original_size=[cfg.img_size, cfg.img_size], object_id=0,
+                frame_index=0,
+            ),
+        )
+        dp = ds_mod.Datapoint(find_queries=[query], images=[sam_image])
+        batch_ref = col_mod.collate_fn_api([dp], dict_key="input")["input"]
+        with torch.no_grad():
+            out_ref = ref_model(batch_ref)
+        last = out_ref[-1]
+        ref_logits = last["pred_logits"].numpy()      # (1, Q, 1)
+        ref_boxes = last["pred_boxes"].numpy()        # (1, Q, 4)
+        ref_masks = last.get("pred_masks")
+        ref_presence = last.get("presence_logit_dec")
+
+        # ---- ours on identical inputs
+        from sam3_lora_tpu.models import Batch, GeoPrompt
+        from sam3_lora_tpu.models.tokenizer import get_default_tokenizer
+
+        tok = get_default_tokenizer()
+        ids = np.asarray(tok([prompt], context_length=cfg.text_context_length))
+        batch = Batch(
+            images=jnp.asarray(img),
+            token_ids=jnp.asarray(ids),
+            img_ids=jnp.zeros((1,), jnp.int32),
+            geo=GeoPrompt.empty(1, cfg.max_prompt_boxes),
+            targets=None,
+        )
+        out = model.apply({"params": params}, batch, train=False)
+        our_logits = np.asarray(out["pred_logits"][-1], np.float32)
+        our_boxes = np.asarray(out["pred_boxes"][-1], np.float32)
+        our_presence = np.asarray(out["presence_logit_dec"][-1], np.float32)
+
+        assert np.isfinite(ref_logits).all(), "reference logits non-finite"
+        assert np.isfinite(our_logits).all(), "our logits non-finite"
+        s = np.abs(ref_logits).max() + 1e-6
+        assert np.abs(ref_logits - our_logits).max() / s < 5e-3, (
+            f"logits mismatch {np.abs(ref_logits - our_logits).max()} vs {s}"
+        )
+        assert np.abs(ref_boxes - our_boxes).max() < 5e-3, (
+            f"boxes mismatch {np.abs(ref_boxes - our_boxes).max()}"
+        )
+        if ref_presence is not None:
+            rp = ref_presence.numpy()
+            assert np.abs(rp - our_presence).max() / (np.abs(rp).max() + 1e-6) < 5e-3
+        if ref_masks is not None:
+            rm = ref_masks.numpy()
+            om = np.asarray(out["pred_masks"], np.float32)
+            if rm.shape == om.shape:
+                sm = np.abs(rm).max() + 1e-6
+                assert np.abs(rm - om).max() / sm < 1e-2, (
+                    f"masks mismatch {np.abs(rm - om).max()} vs {sm}"
+                )
