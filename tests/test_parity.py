@@ -42,6 +42,14 @@ def ref_model():
             device="cpu", load_from_HF=False, bpe_path=BPE, eval_mode=True
         )
     model.eval()
+    # Random kaiming-scale weights blow up through the full 848M stack (the
+    # REFERENCE's own end-to-end forward goes non-finite); damp every matrix
+    # weight so activations stay bounded. Both sides see the identical damped
+    # weights via the converter, and all comparisons are relative-scale.
+    with torch.no_grad():
+        for p in model.parameters():
+            if p.ndim >= 2:
+                p.mul_(0.5)
     return model
 
 
