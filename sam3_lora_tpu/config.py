@@ -48,6 +48,9 @@ class ModelConfig:
     vit_rope_interp: bool = True      # scale rope positions by pt/size (vitdet.py:439-441)
     vit_rope_theta: float = 10000.0
     vit_ln_pre: bool = True
+    # scan the windowed-block runs (4 groups of 7): one compiled body per
+    # group, backward memory bounded to one block. False = flat blocks.{i}.
+    vit_scan_blocks: bool = True
 
     # --- FPN neck (model_builder.py:99-107, necks.py:13-99) ---
     d_model: int = 256
@@ -105,10 +108,12 @@ class ModelConfig:
     dtype: str = "float32"            # compute dtype ("bfloat16" on TPU)
     param_dtype: str = "float32"
     use_flash_attention: bool = True  # Pallas fused attention on TPU
-    # covers both the 5184-token global/fusion attention and the 576-token
-    # windowed ViT attention (72 windows x 16 heads of f32 logits is 1.6 GB
-    # at batch 8 otherwise); shorter decoder/text attention stays on XLA
-    flash_attention_min_seq: int = 512
+    # the 5184-token global-ViT/fusion attention runs the Pallas kernel; the
+    # 576-token windowed attention measured FASTER on plain XLA (pad-to-640
+    # + tiny 128-blocks made the kernel ~2.6x slower there), so the
+    # threshold sits between them. XLA's windowed f32 logits are 1.5 GB
+    # transient at bs8 — acceptable under per-block remat.
+    flash_attention_min_seq: int = 2048
 
     @property
     def feat_size(self) -> int:

@@ -224,20 +224,27 @@ class Conv2d(nn.Module):
     padding: Any = "VALID"
     use_bias: bool = True
     transpose: bool = False  # ConvTranspose2d
+    groups: int = 1          # depthwise when groups == in_ch
 
     @nn.compact
     def __call__(self, x):
         dtype = self.spec.dtype
         in_ch = x.shape[1]
         kh, kw = self.kernel_size
-        fan_in = in_ch * kh * kw if not self.transpose else self.features * kh * kw
+        fan_in = (
+            (in_ch // self.groups) * kh * kw
+            if not self.transpose
+            else self.features * kh * kw
+        )
         bound = 1.0 / math.sqrt(fan_in)
 
         def kinit(key, shape, dt):
             return jax.random.uniform(key, shape, dt, -bound, bound)
 
         kernel = self.param(
-            "kernel", kinit, (kh, kw, in_ch, self.features), self.spec.param_dtype
+            "kernel", kinit,
+            (kh, kw, in_ch // self.groups, self.features),
+            self.spec.param_dtype,
         )
         x_nhwc = jnp.transpose(x, (0, 2, 3, 1)).astype(dtype)
         if self.transpose:
@@ -258,6 +265,7 @@ class Conv2d(nn.Module):
                 window_strides=self.stride,
                 padding=pad,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.groups,
             )
         if self.use_bias:
             bias = self.param("bias", kinit, (self.features,), self.spec.param_dtype)

@@ -35,7 +35,7 @@ from flax import linen as nn
 from ..ops.attention import dot_product_attention, merge_heads, split_heads
 from ..ops.rope import apply_rope, compute_axial_freqs
 from ..ops.windows import window_partition, window_unpartition
-from .layers import DropPath, LayerNorm, LoRALinear, Spec, lecun_trunc_normal
+from .layers import LayerNorm, LoRALinear, Spec, lecun_trunc_normal
 
 
 class PatchEmbed(nn.Module):
@@ -131,15 +131,26 @@ class TimmMlp(nn.Module):
         return x
 
 
+def _drop_path(x, rate, rng, train: bool):
+    """Stochastic depth with a (possibly traced) per-block rate. Keeps x's
+    dtype (a traced fp32 rate must not promote the bf16 scan carry)."""
+    if not train:
+        return x
+    keep = (1.0 - rate).astype(jnp.float32)
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep.astype(x.dtype), jnp.zeros_like(x))
+
+
 class Block(nn.Module):
     spec: Spec
     window_size: int  # 0 = global
-    drop_path: float
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, drop_path, train: bool = False) -> jnp.ndarray:
         # NOTE: `train` is positional (not kw-only) so nn.remat can mark it
-        # static via static_argnums=(2,).
+        # static via static_argnums; drop_path is a runtime scalar so a
+        # scanned stack of blocks can vary it per layer.
         cfg = self.spec.model
         feat = cfg.feat_size
         ws = self.window_size
@@ -161,18 +172,31 @@ class Block(nn.Module):
         )(y, train=train)
         if ws > 0:
             y = window_unpartition(y, ws, pad_hw, hw)
-        x = shortcut + DropPath(self.drop_path, name="drop_path1")(y, train=train)
+        if train:
+            r1 = self.make_rng("dropout")
+            r2 = self.make_rng("dropout")
+        else:
+            r1 = r2 = None
+        x = shortcut + _drop_path(y, drop_path, r1, train)
 
         y = LayerNorm(name="norm2")(x)
         y = TimmMlp(cfg.vit_mlp_hidden, cfg.vit_dim, self.spec, name="mlp")(
             y, train=train
         )
-        x = x + DropPath(self.drop_path, name="drop_path2")(y, train=train)
+        x = x + _drop_path(y, drop_path, r2, train)
         return x
 
 
 class ViT(nn.Module):
-    """Returns the final stride-14 feature map (B, C, H/14, W/14)."""
+    """Returns the final stride-14 feature map (B, C, H/14, W/14).
+
+    The 28 windowed blocks run as FOUR ``nn.scan`` groups of 7 (stacked
+    params, one compiled body each) interleaved with the 4 individually-named
+    global blocks — bounding backward memory to one block's activations and
+    collapsing compile time (XLA otherwise schedules all 32 blocks' remat
+    segments concurrently and overflows HBM). Set
+    ``ModelConfig.vit_scan_blocks=False`` for the flat per-block layout.
+    """
 
     spec: Spec
 
@@ -212,11 +236,67 @@ class ViT(nn.Module):
         # per-block activation rematerialization in training (the reference
         # wraps each block in torch checkpoint, vitdet.py:836-838); nn.remat
         # keeps the parameter tree identical to the plain Block
-        block_cls = nn.remat(Block, static_argnums=(2,)) if train else Block
-        for i in range(cfg.vit_depth):
-            ws = 0 if i in cfg.vit_global_blocks else cfg.vit_window_size
-            x = block_cls(
-                self.spec, window_size=ws, drop_path=float(dpr[i]), name=f"blocks.{i}"
-            )(x, train)
+        block_cls = nn.remat(Block, static_argnums=(3,)) if train else Block
+
+        if cfg.vit_scan_blocks:
+            for g_idx, (run, glob) in enumerate(_scan_groups(cfg)):
+                if run:
+                    scan = nn.scan(
+                        _ScanBody,
+                        variable_axes={"params": 0},
+                        split_rngs={"params": True, "dropout": True},
+                        in_axes=(0, nn.broadcast),
+                        length=len(run),
+                    )
+                    rates = jnp.asarray(dpr[list(run)], jnp.float32)
+                    x, _ = scan(
+                        self.spec, window_size=cfg.vit_window_size,
+                        name=f"scan_blocks_{g_idx}",
+                    )(x, rates, train)
+                if glob is not None:
+                    x = block_cls(
+                        self.spec, window_size=0, name=f"blocks.{glob}"
+                    )(x, jnp.float32(dpr[glob]), train)
+        else:
+            for i in range(cfg.vit_depth):
+                ws = 0 if i in cfg.vit_global_blocks else cfg.vit_window_size
+                x = block_cls(
+                    self.spec, window_size=ws, name=f"blocks.{i}"
+                )(x, jnp.float32(dpr[i]), train)
         # ln_post is Identity in SAM3 (model_builder.py:92)
         return jnp.transpose(x, (0, 3, 1, 2))  # (B, C, h, w)
+
+
+class _ScanBody(nn.Module):
+    """nn.scan body: one windowed Block per iteration, rematted in training.
+
+    The inner Block is named "block" so stacked params live at
+    ``scan_blocks_{g}.block.<...>`` with a leading (group_len,) axis.
+    """
+
+    spec: Spec
+    window_size: int
+
+    @nn.compact
+    def __call__(self, x, rate, train: bool = False):
+        cls = nn.remat(Block, static_argnums=(3,)) if train else Block
+        x = cls(self.spec, window_size=self.window_size, name="block")(
+            x, rate, train
+        )
+        return x, None
+
+
+def _scan_groups(cfg):
+    """Partition block indices into (windowed_run, following_global) pairs,
+    e.g. depth 32 / globals (7,15,23,31) -> [([0..6], 7), ([8..14], 15), ...]."""
+    groups = []
+    run = []
+    for i in range(cfg.vit_depth):
+        if i in cfg.vit_global_blocks:
+            groups.append((tuple(run), i))
+            run = []
+        else:
+            run.append(i)
+    if run:
+        groups.append((tuple(run), None))
+    return groups

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 
-def _pick_block(n: int, target: int = 512) -> int:
+def _pick_block(n: int, target: int = 1024) -> int:
     """Largest divisor of n that is <= target and a multiple of 128 (the
     kernel's lane requirement); falls back to n itself (single block)."""
     best = None
@@ -123,10 +123,13 @@ def flash_attention(
     lk = k.shape[2]
 
     # kernel wants seq lens divisible by 128-multiple blocks; SAM3's 5184
-    # (= 2^6 * 81) has no such divisor — pad to the next multiple of 128 and
-    # mask the padding with segment ids (real tokens = 0, padding = 1/2).
-    # (5184 -> 5248 = 41*128; windowed 576 -> 640 = 5*128.)
-    def pad_to(n, m=128):
+    # (= 2^6 * 81) has no such divisor — pad and mask the padding with
+    # segment ids (real tokens = 0, padding = 1/2). Pad long sequences to a
+    # 512 multiple so 512-wide blocks apply (5184 -> 5248 = 41*128 would
+    # force 128-blocks since 41 is prime — a 4x grid-overhead tax; 5632
+    # = 11*512 costs 8.6% padding and runs with full-size blocks).
+    def pad_to(n):
+        m = 512 if n > 1024 else 128
         return -(-n // m) * m
 
     lq_p, lk_p = pad_to(lq), pad_to(lk)

@@ -288,9 +288,19 @@ class Trainer:
         best_val = float("inf")
         history = {"train_loss": [], "val_loss": []}
         global_step = 0
+        start_epoch = 0
         t_start = time.time()
 
-        for epoch in range(epochs):
+        # auto-resume (reference trainer.py:400-463)
+        state_path = os.path.join(self.tcfg.output_dir, "train_state.npz")
+        if os.path.exists(state_path):
+            meta = self.load_state()
+            start_epoch = meta.get("epoch", -1) + 1
+            best_val = meta.get("best_val", best_val)
+            global_step = self.state.step
+            log.info("resumed from %s at epoch %d step %d", state_path, start_epoch, global_step)
+
+        for epoch in range(start_epoch, epochs):
             epoch_losses = []
             t_epoch = time.time()
             t_data = 0.0
@@ -352,6 +362,8 @@ class Trainer:
                     best_val = val_loss
                     self.save_adapters("best_lora.npz")
             self.save_adapters("last_lora.npz")
+            self.state.step = global_step
+            self.save_state(epoch=epoch, best_val=best_val)
 
         return {
             "history": history,
@@ -373,6 +385,56 @@ class Trainer:
         return float(np.mean(losses)) if losses else float("nan")
 
     # ------------------------------------------------------------------ #
+    def save_state(self, filename: str = "train_state.npz", **meta) -> str:
+        """Full resumable checkpoint: adapters + optimizer state + rng + meta
+        (reference trainer checkpoints model/optimizer/epoch/steps,
+        trainer.py:362-398; frozen base is NOT saved — it reloads from the
+        converted base checkpoint, like the reference re-downloading from HF)."""
+        import pickle
+
+        path = os.path.join(self.tcfg.output_dir, filename)
+        leaves, treedef = jax.tree_util.tree_flatten(self.state.opt_state)
+        payload = {
+            f"opt_{i}": np.asarray(x) for i, x in enumerate(leaves)
+        }
+        payload.update(
+            {f"lora::{'.'.join(k)}": np.asarray(v) for k, v in self.state.trainable.items()}
+        )
+        payload["rng"] = np.asarray(self.rng)
+        payload["meta"] = np.frombuffer(
+            pickle.dumps({"step": self.state.step, **meta}), dtype=np.uint8
+        )
+        tmp = path + ".tmp.npz"
+        np.savez(tmp, **payload)
+        os.replace(tmp, path)
+        return path
+
+    def load_state(self, filename: str = "train_state.npz") -> Dict[str, Any]:
+        """Restore adapters + optimizer state + rng; returns the meta dict."""
+        import pickle
+
+        path = os.path.join(self.tcfg.output_dir, filename)
+        data = np.load(path)
+        leaves, treedef = jax.tree_util.tree_flatten(self.state.opt_state)
+        n = sum(1 for k in data.files if k.startswith("opt_"))
+        assert n == len(leaves), f"optimizer state mismatch: {n} vs {len(leaves)}"
+        new_leaves = [
+            jnp.asarray(data[f"opt_{i}"], dtype=leaves[i].dtype)
+            for i in range(len(leaves))
+        ]
+        self.state.opt_state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+        by_name = {".".join(k): k for k in self.state.trainable}
+        for f in data.files:
+            if f.startswith("lora::"):
+                k = by_name[f[len("lora::"):]]
+                self.state.trainable[k] = jnp.asarray(
+                    data[f], dtype=self.state.trainable[k].dtype
+                )
+        self.rng = jnp.asarray(data["rng"])
+        meta = pickle.loads(data["meta"].tobytes())
+        self.state.step = meta.get("step", 0)
+        return meta
+
     def save_adapters(self, filename: str) -> str:
         path = os.path.join(self.tcfg.output_dir, filename)
         tmp = path + ".tmp.npz"  # np.savez appends .npz to foreign suffixes

@@ -30,7 +30,7 @@ from __future__ import annotations
 import argparse
 import fnmatch
 import sys
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -79,18 +79,72 @@ def convert_tensor(our_key: str, our_shape: Tuple[int, ...], t: np.ndarray) -> n
     return t
 
 
+def vit_scan_map(cfg) -> Dict[str, Tuple[int, ...]]:
+    """{scan module name: (block indices)} for ModelConfig.vit_scan_blocks
+    (the windowed runs between global blocks — see models/vit.py)."""
+    groups: Dict[str, Tuple[int, ...]] = {}
+    run, g = [], 0
+    for i in range(cfg.vit_depth):
+        if i in cfg.vit_global_blocks:
+            if run:
+                groups[f"scan_blocks_{g}"] = tuple(run)
+            g += 1
+            run = []
+        else:
+            run.append(i)
+    if run:
+        groups[f"scan_blocks_{g}"] = tuple(run)
+    return groups
+
+
+def _stack_scanned(our_key, our_shape, torch_sd, scan_map):
+    """Resolve '...trunk.scan_blocks_g.block.REST' by stacking the per-block
+    reference tensors blocks.{i}.REST along a new leading axis."""
+    import re
+
+    m = re.match(r"(.*trunk\.)(scan_blocks_\d+)\.block\.(.*)$", our_key)
+    if not m or m.group(2) not in scan_map:
+        return None, []
+    prefix, gname, rest = m.groups()
+    ref_rest = rest
+    if ref_rest.endswith(".kernel"):
+        ref_rest = ref_rest[: -len(".kernel")] + ".weight"
+    slot_shape = tuple(our_shape[1:])
+    slabs, used = [], []
+    for i in scan_map[gname]:
+        rk = f"{prefix}blocks.{i}.{ref_rest}"
+        if rk not in torch_sd:
+            return None, []
+        slabs.append(convert_tensor(our_key, slot_shape, np.asarray(torch_sd[rk])))
+        used.append(rk)
+    return np.stack(slabs), used
+
+
 def convert_state_dict(
     torch_sd: Dict[str, "np.ndarray"],
     our_shapes: Dict[str, Tuple[int, ...]],
     strict: bool = True,
+    scan_map: Optional[Dict[str, Tuple[int, ...]]] = None,
 ) -> Dict[str, np.ndarray]:
     """torch state dict (numpy values) -> flat dict keyed by our param names.
 
     ``our_shapes``: {'.'-joined flax path: shape} for all non-adapter params.
+    ``scan_map``: vit_scan_map(cfg) when the model uses scanned ViT blocks.
     """
     out: Dict[str, np.ndarray] = {}
+    consumed = set()
     unmatched = []
+
+    if scan_map:
+        for our_key, shape in our_shapes.items():
+            stacked, used = _stack_scanned(our_key, shape, torch_sd, scan_map)
+            if stacked is not None:
+                out[our_key] = stacked
+                consumed.update(used)
+
     for ref_key, val in torch_sd.items():
+        if ref_key in consumed:
+            continue
         if any(fnmatch.fnmatch(ref_key, pat) for pat in SKIP_PATTERNS):
             continue
         our_key = _ref_to_ours_key(ref_key)
@@ -160,7 +214,12 @@ def main():
 
         cfg = tiny_model_config()
     shapes = our_param_shapes(cfg)
-    out = convert_state_dict(sd, shapes)
+    from sam3_lora_tpu.config import ModelConfig, tiny_model_config as _tiny
+
+    mc = _tiny() if args.tiny else ModelConfig()
+    out = convert_state_dict(
+        sd, shapes, scan_map=vit_scan_map(mc) if mc.vit_scan_blocks else None
+    )
     np.savez(args.out, **out)
     print(f"converted {len(out)} tensors -> {args.out}")
 

@@ -130,9 +130,18 @@ class TestLoRA:
         model = build_sam3_image_model(cfg, lora=lcfg)
         params = init_model(model, jax.random.PRNGKey(0))
         names = lora_module_names(params)
-        assert len(names) == 2 * cfg.vit_depth
         assert all(".mlp.fc" in n for n in names)
-        assert all("vision_backbone.trunk.blocks." in n for n in names)
+        assert all("vision_backbone.trunk." in n for n in names)
+        # scanned layout: fc1/fc2 per scan group (stacked over blocks) plus
+        # per global block; flat layout: 2 per block
+        if cfg.vit_scan_blocks:
+            n_groups = sum(
+                1 for i in range(cfg.vit_depth) if i in cfg.vit_global_blocks
+            )
+            expected = 2 * (n_groups + len(cfg.vit_global_blocks))
+        else:
+            expected = 2 * cfg.vit_depth
+        assert len(names) == expected
 
     def test_component_gating(self):
         cfg = tiny_model_config()

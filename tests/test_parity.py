@@ -60,11 +60,13 @@ def our_params(ref_model):
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
     )
     sys.path.insert(0, scripts)
-    from convert_checkpoint import convert_state_dict, our_param_shapes
+    from convert_checkpoint import convert_state_dict, our_param_shapes, vit_scan_map
+
+    from sam3_lora_tpu.config import ModelConfig as _MC
 
     sd = {k: v.numpy() for k, v in ref_model.state_dict().items()}
     shapes = our_param_shapes()
-    flat = convert_state_dict(sd, shapes, strict=True)
+    flat = convert_state_dict(sd, shapes, strict=True, scan_map=vit_scan_map(_MC()))
 
     from flax import traverse_util
 
@@ -96,7 +98,8 @@ class TestConverterCoverage:
         from flax import traverse_util
 
         n = len(traverse_util.flatten_dict(params))
-        assert n > 1000
+        # scanned ViT folds 28 windowed blocks into 4 stacked groups
+        assert n > 750
 
 
 def _torch_fwd_vit(ref_model, x):

@@ -104,3 +104,39 @@ class TestTrainer:
         ds = COCOSegmentDataset(coco_root, "train", model_config=cfg)
         with pytest.raises(FloatingPointError):
             tr.fit(DataLoader(ds, 4, seed=0), None, num_epochs=2)
+
+
+class TestResume:
+    def test_save_load_state_roundtrip_and_auto_resume(self, coco_root):
+        cfg = tiny_model_config()
+        out = tempfile.mkdtemp(prefix="resume_")
+        kw = dict(
+            model_cfg=cfg,
+            lora_cfg=LoRAConfig(rank=4, alpha=8.0, target_modules=("fc1", "fc2")),
+            train_cfg=TrainConfig(
+                batch_size=4, num_epochs=2, logging_steps=1, output_dir=out,
+                learning_rate=1e-3,
+            ),
+        )
+        ds = COCOSegmentDataset(coco_root, "train", model_config=cfg)
+        tr = Trainer(**kw)
+        res1 = tr.fit(DataLoader(ds, 4, seed=0), None)
+        assert os.path.exists(os.path.join(out, "train_state.npz"))
+        snap = {k: np.asarray(v).copy() for k, v in tr.state.trainable.items()}
+
+        # a fresh trainer in the same output dir resumes past both epochs:
+        # fit() returns immediately with no new steps
+        tr2 = Trainer(**kw)
+        res2 = tr2.fit(DataLoader(ds, 4, seed=0), None)
+        assert res2["steps"] == res1["steps"]  # resumed counter, no new work
+        for k, v in tr2.state.trainable.items():
+            np.testing.assert_array_equal(np.asarray(v), snap[k])
+
+        # extending epochs continues training and changes adapters
+        tr3 = Trainer(**kw)
+        tr3.fit(DataLoader(ds, 4, seed=0), None, num_epochs=3)
+        changed = sum(
+            float(np.abs(np.asarray(v) - snap[k]).sum())
+            for k, v in tr3.state.trainable.items()
+        )
+        assert changed > 0.0
