@@ -1,0 +1,65 @@
+"""Video track-state machine tests (association/spawn/retire, static slots)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from sam3_lora_tpu.video import associate_and_update, init_track_state
+
+
+def _blob(h, w, cy, cx, r):
+    yy, xx = np.mgrid[:h, :w]
+    return ((yy - cy) ** 2 + (xx - cx) ** 2 <= r * r).astype(np.float32)
+
+
+def _dets(*blobs, scores, n_pad=6, hw=32):
+    masks = np.zeros((n_pad, hw, hw), np.float32)
+    s = np.zeros((n_pad,), np.float32)
+    v = np.zeros((n_pad,), bool)
+    for i, (b, sc) in enumerate(zip(blobs, scores)):
+        masks[i] = b
+        s[i] = sc
+        v[i] = True
+    return jnp.asarray(masks), jnp.asarray(s), jnp.asarray(v)
+
+
+class TestTrackStateMachine:
+    def test_spawn_track_retire_lifecycle(self):
+        st = init_track_state(4, 1, 8, (32, 32))
+        a = _blob(32, 32, 8, 8, 5)
+        b = _blob(32, 32, 24, 24, 5)
+
+        # frame 1: two new objects spawn
+        m, s, v = _dets(a, b, scores=[0.9, 0.8])
+        st = associate_and_update(st, m, s, v)
+        assert int(st.alive.sum()) == 2
+        ids0 = set(np.asarray(st.obj_ids)[np.asarray(st.alive)].tolist())
+        assert ids0 == {0, 1}
+
+        # frame 2: object a persists (moved slightly), b vanishes
+        a2 = _blob(32, 32, 9, 9, 5)
+        m, s, v = _dets(a2, scores=[0.85])
+        st = associate_and_update(st, m, s, v, max_missing_frames=1)
+        assert int(st.alive.sum()) == 2  # b inside keep-alive window
+
+        # frames 3-5: b still missing -> retired after max_missing_frames
+        for _ in range(3):
+            m, s, v = _dets(a2, scores=[0.85])
+            st = associate_and_update(st, m, s, v, max_missing_frames=1)
+        alive_ids = set(np.asarray(st.obj_ids)[np.asarray(st.alive)].tolist())
+        assert alive_ids == {0}
+
+        # new object later gets a FRESH id (no reuse)
+        c = _blob(32, 32, 16, 28, 3)
+        m, s, v = _dets(a2, c, scores=[0.85, 0.7])
+        st = associate_and_update(st, m, s, v)
+        alive_ids = set(np.asarray(st.obj_ids)[np.asarray(st.alive)].tolist())
+        assert 0 in alive_ids and len(alive_ids) == 2
+        assert max(alive_ids) >= 2  # id 1 not recycled
+
+    def test_slot_exhaustion(self):
+        st = init_track_state(2, 1, 8, (32, 32))
+        blobs = [_blob(32, 32, 5 + 9 * i, 5 + 9 * i, 3) for i in range(3)]
+        m, s, v = _dets(*blobs, scores=[0.9, 0.8, 0.7])
+        st = associate_and_update(st, m, s, v)
+        assert int(st.alive.sum()) == 2  # capped at slot count
