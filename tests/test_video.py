@@ -63,3 +63,30 @@ class TestTrackStateMachine:
         m, s, v = _dets(*blobs, scores=[0.9, 0.8, 0.7])
         st = associate_and_update(st, m, s, v)
         assert int(st.alive.sum()) == 2  # capped at slot count
+
+
+class TestAgentLoop:
+    def test_rule_based_refiner_protocol(self):
+        """Agent loop against a fake processor: refine until a phrase hits."""
+        from sam3_lora_tpu.agent import agent_inference
+        import numpy as np
+
+        class FakeProc:
+            def set_image(self, img):
+                return self
+
+            def set_text_prompt(self, phrase, threshold=0.5):
+                hit = phrase == "crack"  # only the refined phrase works
+                return {
+                    "num_detections": 2 if hit else 0,
+                    "scores": np.array([0.8, 0.6]) if hit else np.zeros((0,)),
+                    "presence": 0.9 if hit else 0.1,
+                    "boxes": None,
+                    "masks_lowres": None,
+                    "prompt": phrase,
+                }
+
+        res = agent_inference(FakeProc(), None, "a cracks", max_rounds=4)
+        assert res.detections["num_detections"] == 2
+        assert res.phrase == "crack"  # article stripped then plural flipped
+        assert res.rounds <= 4
