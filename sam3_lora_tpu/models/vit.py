@@ -104,12 +104,14 @@ class Attention(nn.Module):
             k = apply_rope(k, cos, sin)
 
         # 5184-token global blocks: fused flash attention (13 GB of fp32
-        # logits at bs 8 otherwise). Short/windowed sequences stay on XLA.
-        impl = (
-            "pallas"
-            if cfg.use_flash_attention and l >= cfg.flash_attention_min_seq
-            else "xla"
-        )
+        # logits at bs 8 otherwise). Windowed blocks: whole-window fused
+        # kernel (ops/window_attention.py) — logits never leave VMEM.
+        if cfg.use_flash_attention and l >= cfg.flash_attention_min_seq:
+            impl = "pallas"
+        elif cfg.use_flash_attention and self.input_size[0] == cfg.vit_window_size:
+            impl = "window"
+        else:
+            impl = "xla"
         out = dot_product_attention(q, k, v, impl=impl)
         out = merge_heads(out)
         out = LoRALinear(dim, self.spec, name="proj")(out, train=train)

@@ -59,6 +59,18 @@ def dot_product_attention(
         return flash_attention(
             q, k, v, bias=bias, key_padding_mask=key_padding_mask, scale=scale
         )
+    if impl == "window":
+        # fused whole-window kernel (no mask/bias support by design)
+        from .pallas_attention import _is_tpu_backend
+        from .window_attention import window_attention
+
+        assert bias is None and key_padding_mask is None
+        if _is_tpu_backend():
+            d = q.shape[-1]
+            return window_attention(
+                q, k, v, float(d ** -0.5) if scale is None else float(scale)
+            )
+        impl = "xla"  # CPU tests fall through to the reference expression
     d = q.shape[-1]
     scale = (d ** -0.5) if scale is None else scale
     logits = jnp.einsum(
