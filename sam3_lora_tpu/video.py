@@ -179,7 +179,8 @@ class VideoGrounder:
         keep = scores >= self.prob_threshold
         keep = keep & np.asarray(self._nms(masks, scores))
         self.state = self._assoc(
-            self.state, masks, scores, jnp.asarray(keep)
+            self.state, masks, scores, jnp.asarray(keep),
+            new_det_thresh=self.prob_threshold,
         )
         alive = np.asarray(self.state.alive)
         return {
