@@ -281,6 +281,10 @@ class _ScanBody(nn.Module):
 
     @nn.compact
     def __call__(self, x, rate, train: bool = False):
+        # NOTE: a save-attention-outputs remat policy was measured SLOWER here
+        # (1.84 -> 1.78 img/s/chip): the scan stacks saved residuals into a
+        # (group, B, 72, 72, C) HBM tensor whose DMA traffic exceeds the
+        # attention recompute it avoids. Full remat stays.
         cls = nn.remat(Block, static_argnums=(3,)) if train else Block
         x = cls(self.spec, window_size=self.window_size, name="block")(
             x, rate, train
