@@ -74,15 +74,18 @@ def main():
     step = make_train_step(model, tx, LossConfig())
 
     key = jax.random.PRNGKey(1)
-    # warmup / compile
+    # warmup / compile. NOTE: through the axon TPU tunnel block_until_ready
+    # returns before the computation actually runs; a host fetch of a scalar
+    # is the only reliable barrier. Steps chain through `trainable`, so one
+    # final fetch forces the whole timed sequence.
     trainable, opt_state, losses = step(trainable, frozen, opt_state, batch, key)
-    jax.block_until_ready(losses["core_loss"])
+    float(np.asarray(losses["core_loss"]))
 
     t0 = time.time()
     for i in range(steps):
         key, sub = jax.random.split(key)
         trainable, opt_state, losses = step(trainable, frozen, opt_state, batch, sub)
-    jax.block_until_ready(losses["core_loss"])
+    float(np.asarray(losses["core_loss"]))
     dt = time.time() - t0
 
     img_per_s_per_chip = batch_size * steps / dt / n_chips

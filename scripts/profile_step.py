@@ -26,15 +26,23 @@ B = int(os.environ.get("B", "4"))
 REPS = int(os.environ.get("REPS", "5"))
 
 
+def _fetch(out):
+    """Force real device execution. Through the axon tunnel
+    ``block_until_ready`` returns before the computation actually runs, so a
+    tiny host fetch of (a leaf of) the output is the only reliable barrier."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return np.asarray(leaf.ravel()[0])
+
+
 def bench_fn(name, fn, *args):
     t0 = time.time()
     out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch(out)
     compile_t = time.time() - t0
     t0 = time.time()
     for _ in range(REPS):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch(out)
     dt = (time.time() - t0) / REPS
     print(f"{name:34s} compile {compile_t:7.1f}s   steady {dt * 1e3:9.1f} ms")
     return dt
@@ -81,14 +89,23 @@ def main():
     floss = jax.jit(fwd_loss)
     bench_fn("train_fwd + matching + loss", floss, params, batch_t, jax.random.PRNGKey(0))
 
-    # 4. full train step (fwd+bwd+opt)
+    # 4. full train step (fwd+bwd+opt). The step donates (trainable,
+    # opt_state), so reps must thread the outputs back in — passing the same
+    # arrays twice reuses donated buffers (INVALID_ARGUMENT on TPU).
     tx, _ = make_optimizer(TrainConfig(num_epochs=1), steps_per_epoch=10)
     opt_state = tx.init(trainable)
     step = make_train_step(model, tx, LossConfig())
-    dt = bench_fn(
-        "full train step", lambda t, f, o, b, k: step(t, f, o, b, k)[2]["core_loss"],
-        trainable, frozen, opt_state, batch_t, jax.random.PRNGKey(1),
-    )
+    key = jax.random.PRNGKey(1)
+    t0 = time.time()
+    trainable, opt_state, losses = step(trainable, frozen, opt_state, batch_t, key)
+    _fetch(losses["core_loss"])
+    print(f"{'full train step':34s} compile {time.time() - t0:7.1f}s", end="")
+    t0 = time.time()
+    for _ in range(REPS):
+        trainable, opt_state, losses = step(trainable, frozen, opt_state, batch_t, key)
+    _fetch(losses["core_loss"])
+    dt = (time.time() - t0) / REPS
+    print(f"   steady {dt * 1e3:9.1f} ms")
     print(f"train img/s/chip: {B / dt:.2f}")
 
 
