@@ -42,7 +42,10 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "10"))
     n_chips = max(1, len(jax.devices()))
 
-    cfg = ModelConfig(dtype="bfloat16")
+    cfg = ModelConfig(
+        dtype="bfloat16",
+        vit_remat_policy=os.environ.get("BENCH_REMAT", "full"),
+    )
     # full_lora_config surface: rank 32, alpha 64, all six components
     lcfg = LoRAConfig(
         rank=32,

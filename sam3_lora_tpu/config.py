@@ -51,6 +51,14 @@ class ModelConfig:
     # scan the windowed-block runs (4 groups of 7): one compiled body per
     # group, backward memory bounded to one block. False = flat blocks.{i}.
     vit_scan_blocks: bool = True
+    # rematerialization policy for ViT blocks in training:
+    #   "full"      — recompute the whole block in backward (lowest memory)
+    #   "block_mid" — additionally save the post-attention residual (x_mid,
+    #                 84 MB/block at bs8): backward then only recomputes the
+    #                 qkv/rope half and the fc1/gelu half instead of the whole
+    #                 block (the attention kernel's replay is DCE'd because
+    #                 its only consumer, x_mid, is saved)
+    vit_remat_policy: str = "full"
 
     # --- FPN neck (model_builder.py:99-107, necks.py:13-99) ---
     d_model: int = 256

@@ -180,6 +180,10 @@ class Block(nn.Module):
         else:
             r1 = r2 = None
         x = shortcut + _drop_path(y, drop_path, r1, train)
+        # tag for the "block_mid" remat policy (identity otherwise)
+        from jax.ad_checkpoint import checkpoint_name
+
+        x = checkpoint_name(x, "vit_block_mid")
 
         y = LayerNorm(name="norm2")(x)
         y = TimmMlp(cfg.vit_mlp_hidden, cfg.vit_dim, self.spec, name="mlp")(
@@ -238,7 +242,7 @@ class ViT(nn.Module):
         # per-block activation rematerialization in training (the reference
         # wraps each block in torch checkpoint, vitdet.py:836-838); nn.remat
         # keeps the parameter tree identical to the plain Block
-        block_cls = nn.remat(Block, static_argnums=(3,)) if train else Block
+        block_cls = _remat_block(cfg) if train else Block
 
         if cfg.vit_scan_blocks:
             for g_idx, (run, glob) in enumerate(_scan_groups(cfg)):
@@ -281,15 +285,27 @@ class _ScanBody(nn.Module):
 
     @nn.compact
     def __call__(self, x, rate, train: bool = False):
-        # NOTE: a save-attention-outputs remat policy was measured SLOWER here
+        # NOTE: a save-attention-OUTPUTS remat policy was measured SLOWER here
         # (1.84 -> 1.78 img/s/chip): the scan stacks saved residuals into a
         # (group, B, 72, 72, C) HBM tensor whose DMA traffic exceeds the
-        # attention recompute it avoids. Full remat stays.
-        cls = nn.remat(Block, static_argnums=(3,)) if train else Block
+        # attention recompute it avoids. The "block_mid" policy instead saves
+        # the post-attention RESIDUAL, which lets XLA drop the attention
+        # kernel replay itself from the backward (see ModelConfig).
+        cls = _remat_block(self.spec.model) if train else Block
         x = cls(self.spec, window_size=self.window_size, name="block")(
             x, rate, train
         )
         return x, None
+
+
+def _remat_block(cfg):
+    """Block wrapped in nn.remat with the configured save policy."""
+    policy = None
+    if cfg.vit_remat_policy == "block_mid":
+        policy = jax.checkpoint_policies.save_only_these_names("vit_block_mid")
+    elif cfg.vit_remat_policy != "full":
+        raise ValueError(f"unknown vit_remat_policy: {cfg.vit_remat_policy}")
+    return nn.remat(Block, static_argnums=(3,), policy=policy)
 
 
 def _scan_groups(cfg):

@@ -157,8 +157,11 @@ def flash_attention(
             jnp.broadcast_to(bias.astype(jnp.float32), (b, h, lq, lk))
         )
 
-    block_q = _pick_block(lq_p)
-    block_k = _pick_block(lk_p)
+    # Measured on v5e (5632-seq, bs8): block_q 1408 / block_k 512 beats
+    # 512/512 by ~8% fwd and ~12% bwd; 1408-wide K blocks fail to compile in
+    # the dkv pass, so K stays at 512.
+    block_q = _pick_block(lq_p, target=2048)
+    block_k = _pick_block(lk_p, target=512)
     sizes = BlockSizes(
         block_q=block_q,
         block_k_major=block_k,

@@ -104,6 +104,11 @@ def _specs(g, l, d):
     return pl.BlockSpec((1, g, l, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
 
 
+# Grid iterations are independent — telling Mosaic lets it overlap the next
+# iteration's DMA with this iteration's compute far more aggressively.
+_PARALLEL = pltpu.CompilerParams(dimension_semantics=("parallel",))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def window_attention(q, k, v, scale: float):
     """Fused attention over full windows. q/k/v: (B, H, L, D), no mask."""
@@ -120,6 +125,7 @@ def _wa_fwd(q, k, v, scale):
         grid=(qg.shape[0],),
         in_specs=[_specs(g, l, d)] * 3,
         out_specs=_specs(g, l, d),
+        compiler_params=_PARALLEL,
     )(qg, kg, vg)
     return _ungrouped(out, b, h), (q, k, v)
 
@@ -141,6 +147,7 @@ def _wa_bwd(scale, residuals, do):
         grid=(qg.shape[0],),
         in_specs=[_specs(g, l, d)] * 4,
         out_specs=[_specs(g, l, d)] * 3,
+        compiler_params=_PARALLEL,
     )(qg, kg, vg, dog)
     return (
         _ungrouped(dq, b, h),

@@ -46,8 +46,16 @@ def ref_model():
     # REFERENCE's own end-to-end forward goes non-finite); damp every matrix
     # weight so activations stay bounded. Both sides see the identical damped
     # weights via the converter, and all comparisons are relative-scale.
+    #
+    # Also: the reference leaves some params UNINITIALIZED (torch.empty
+    # garbage — e.g. TextTransformer.text_projection), which is sometimes
+    # NaN depending on what the allocator hands back. Re-init any non-finite
+    # param deterministically so the oracle is reproducible.
     with torch.no_grad():
+        gen = torch.Generator().manual_seed(1234)
         for p in model.parameters():
+            if not torch.isfinite(p).all():
+                p.copy_(torch.randn(p.shape, generator=gen) * 0.02)
             if p.ndim >= 2:
                 p.mul_(0.5)
     return model
