@@ -306,9 +306,12 @@ class TrackerCore(nn.Module):
     spec: Spec
     d_model: int = 256
     mem_dim: int = 64
+    num_maskmem: int = 7
+    max_obj_ptrs: int = 16
     feat_sizes: Tuple[int, int] = (72, 72)
 
     def setup(self):
+        from .layers import MLP
         from .sam_heads import MaskDecoder, PromptEncoder
 
         h, w = self.feat_sizes
@@ -328,6 +331,35 @@ class TrackerCore(nn.Module):
         )
         self.sam_mask_decoder = MaskDecoder(
             self.spec, transformer_dim=self.d_model, name="sam_mask_decoder",
+        )
+        # --- tracker-base scalar params (sam3_tracker_base.py:85,140-143,
+        # 212-216): temporal memory embeddings, no-memory / no-object
+        # embeddings, object-pointer projections, mask-prompt downsampler.
+        trunc02 = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
+        self.maskmem_tpos_enc = self.param(
+            "maskmem_tpos_enc", trunc02, (self.num_maskmem, 1, 1, self.mem_dim),
+            jnp.float32,
+        )
+        self.no_mem_embed = self.param(
+            "no_mem_embed", trunc02, (1, 1, self.d_model), jnp.float32
+        )
+        self.no_mem_pos_enc = self.param(
+            "no_mem_pos_enc", trunc02, (1, 1, self.d_model), jnp.float32
+        )
+        self.no_obj_ptr = self.param(
+            "no_obj_ptr", trunc02, (1, self.d_model), jnp.float32
+        )
+        self.no_obj_embed_spatial = self.param(
+            "no_obj_embed_spatial", trunc02, (1, self.mem_dim), jnp.float32
+        )
+        self.obj_ptr_proj = MLP(
+            self.d_model, self.d_model, 3, self.spec, name="obj_ptr_proj"
+        )
+        self.obj_ptr_tpos_proj = LoRALinear(
+            self.mem_dim, self.spec, name="obj_ptr_tpos_proj"
+        )
+        self.mask_downsample = Conv2d(
+            1, (4, 4), self.spec, stride=(4, 4), name="mask_downsample"
         )
 
     def condition_features(
@@ -372,8 +404,100 @@ class TrackerCore(nn.Module):
             project_high_res=True,
         )
 
-    def encode_memory(self, pix_feat, mask_logits, skip_sigmoid=False):
-        return self.maskmem_backbone(pix_feat, mask_logits, skip_sigmoid)
+    def encode_memory(
+        self, pix_feat, mask_logits, skip_sigmoid=False,
+        object_score_logits=None,
+    ):
+        """Encode a frame + predicted mask into memory features
+        (_encode_new_memory, sam3_tracker_base.py:795-850). When
+        ``object_score_logits`` is given, occluded frames (logit <= 0) get
+        the no-object spatial embedding added."""
+        out = self.maskmem_backbone(pix_feat, mask_logits, skip_sigmoid)
+        if object_score_logits is not None:
+            is_obj = (object_score_logits > 0).astype(jnp.float32)  # (B, 1)
+            out["vision_features"] = out["vision_features"] + (
+                (1.0 - is_obj)[..., None, None]
+                * self.no_obj_embed_spatial.astype(jnp.float32)[..., None, None]
+            ).astype(out["vision_features"].dtype)
+        return out
+
+    def project_obj_ptr(self, sam_output_token, is_obj_appearing):
+        """SAM output token -> object pointer with occlusion handling
+        (sam3_tracker_base.py:373-377): lam*MLP(tok) + (1-lam)*no_obj_ptr."""
+        lam = is_obj_appearing.astype(jnp.float32)[..., None]  # (B, 1)
+        ptr = self.obj_ptr_proj(sam_output_token)
+        return lam * ptr + (1.0 - lam) * self.no_obj_ptr
+
+    def obj_ptr_tpos(self, rel_pos, max_abs_pos):
+        """Temporal PE for object pointers (_get_tpos_enc,
+        sam3_tracker_base.py:162-175): sine(rel/max-1) -> Linear to mem_dim."""
+        from ..ops.posenc import get_1d_sine_pe
+
+        t_diff_max = max(max_abs_pos - 1, 1)
+        pe = get_1d_sine_pe(rel_pos / t_diff_max, dim=self.d_model)
+        return self.obj_ptr_tpos_proj(pe)
+
+    def downsample_mask_input(self, masks):
+        """4x4-stride conv for mask-as-prompt inputs (_use_mask_as_output,
+        sam3_tracker_base.py:85,413)."""
+        return self.mask_downsample(masks)
+
+    def no_memory_features(self, vision_feats):
+        """Init-cond-frame path: skip the transformer, directly add the
+        no-memory embedding (sam3_tracker_base.py:770-772)."""
+        b, d, h, w = vision_feats.shape
+        x = vision_feats.reshape(b, d, h * w).transpose(0, 2, 1)
+        x = x + self.no_mem_embed.astype(x.dtype)
+        return x.transpose(0, 2, 1).reshape(b, d, h, w)
+
+    def assemble_memory(
+        self,
+        maskmem_feats: jnp.ndarray,   # (B, N, mem_dim, Hm, Wm) slot bank
+        maskmem_pos: jnp.ndarray,     # (B, N, mem_dim, Hm, Wm) spatial PE
+        maskmem_tpos: jnp.ndarray,    # (B, N) int32: t_pos (0 = cond frame)
+        maskmem_valid: jnp.ndarray,   # (B, N) bool
+        obj_ptrs: jnp.ndarray,        # (B, P, d_model)
+        obj_ptr_rel: jnp.ndarray,     # (B, P) float: frame distance
+        obj_ptr_valid: jnp.ndarray,   # (B, P) bool
+        num_frames: Optional[int] = None,
+    ):
+        """Static-shape analogue of the memory-bank concat in
+        ``_prepare_memory_conditioned_features`` (sam3_tracker_base.py:
+        586-766): N fixed memory slots + P fixed pointer slots; missing
+        entries are mask slots, not shape changes.
+
+        Returns (mem, mem_pos, mem_mask, num_obj_ptr_tokens) ready for
+        :meth:`condition_features` — mem (B, N*Hm*Wm + P*r, mem_dim) with
+        r = d_model // mem_dim pointer splitting, mem_mask True = pad.
+        """
+        b, n, c, hm, wm = maskmem_feats.shape
+        l = hm * wm
+        # spatial memory tokens + temporal embedding (tpos t -> row
+        # num_maskmem - t - 1 of maskmem_tpos_enc, :678-681)
+        tpos_emb = self.maskmem_tpos_enc[
+            jnp.clip(self.num_maskmem - 1 - maskmem_tpos, 0, self.num_maskmem - 1)
+        ]  # (B, N, 1, 1, mem_dim)
+        feats = maskmem_feats.reshape(b, n, c, l).transpose(0, 1, 3, 2)  # B,N,L,C
+        pos = maskmem_pos.reshape(b, n, c, l).transpose(0, 1, 3, 2)
+        pos = pos + tpos_emb.reshape(b, n, 1, c)
+        feats = feats.reshape(b, n * l, c)
+        pos = pos.reshape(b, n * l, c)
+        mem_mask = jnp.repeat(~maskmem_valid, l, axis=1)  # (B, N*L) True=pad
+
+        # object-pointer tokens: tpos sine embedding, split d_model-dim
+        # pointers into r tokens of mem_dim (:707-765)
+        p = obj_ptrs.shape[1]
+        r = self.d_model // self.mem_dim
+        max_abs = min(num_frames, self.max_obj_ptrs) if num_frames else self.max_obj_ptrs
+        ptr_pos = self.obj_ptr_tpos(obj_ptr_rel, max_abs)       # (B, P, mem_dim)
+        ptr_tok = obj_ptrs.reshape(b, p, r, self.mem_dim).reshape(b, p * r, self.mem_dim)
+        ptr_pos = jnp.repeat(ptr_pos, r, axis=1)                 # (B, P*r, mem_dim)
+        ptr_mask = jnp.repeat(~obj_ptr_valid, r, axis=1)
+
+        mem = jnp.concatenate([feats, ptr_tok.astype(feats.dtype)], axis=1)
+        mem_pos = jnp.concatenate([pos, ptr_pos.astype(pos.dtype)], axis=1)
+        mask = jnp.concatenate([mem_mask, ptr_mask], axis=1)
+        return mem, mem_pos, mask, p * r
 
     def __call__(
         self,

@@ -108,3 +108,14 @@ def gen_sineembed_for_position(pos: jnp.ndarray, num_feats: int = 256) -> jnp.nd
         e = _interleave_sin_cos((pos[..., j] * TWO_PI)[..., None] / dim_t)
         parts.append(e)
     return jnp.concatenate(parts, axis=-1)
+
+
+def get_1d_sine_pe(pos: jnp.ndarray, dim: int, temperature: float = 10000.0) -> jnp.ndarray:
+    """1D sine PE as in the original Transformer paper, matching the
+    tracker's temporal embedding (sam3_tracker_utils.py:327-337):
+    (...,) positions -> (..., dim) with [sin | cos] halves."""
+    pe_dim = dim // 2
+    i = jnp.arange(pe_dim, dtype=jnp.float32)
+    dim_t = temperature ** (2.0 * jnp.floor(i / 2.0) / pe_dim)
+    x = pos.astype(jnp.float32)[..., None] / dim_t
+    return jnp.concatenate([jnp.sin(x), jnp.cos(x)], axis=-1)

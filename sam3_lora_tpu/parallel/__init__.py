@@ -5,6 +5,15 @@ from .mesh import (
     shard_batch,
     param_shardings,
 )
+from .dist_utils import (
+    get_rank,
+    get_world_size,
+    is_main_process,
+    all_gather_objects,
+    broadcast_object,
+    filesystem_gather,
+    barrier,
+)
 
 __all__ = [
     "make_mesh",
@@ -12,4 +21,11 @@ __all__ = [
     "replicated",
     "shard_batch",
     "param_shardings",
+    "get_rank",
+    "get_world_size",
+    "is_main_process",
+    "all_gather_objects",
+    "broadcast_object",
+    "filesystem_gather",
+    "barrier",
 ]

@@ -80,15 +80,26 @@ def downsample_mask(mask: np.ndarray, out: int) -> np.ndarray:
 
 
 class COCOSegmentDataset:
-    """Reads ``<data_dir>/<split>/_annotations.coco.json`` (Roboflow layout)."""
+    """Reads ``<data_dir>/<split>/_annotations.coco.json`` (Roboflow layout).
+
+    ``transforms`` (optional) is a datapoint-level augmentation pipeline from
+    :mod:`.transforms` — a callable ``(Datapoint, rng) -> Datapoint`` applied
+    at native resolution before static-shape padding. When None, the
+    reference native trainer's resize-only path is used
+    (train_sam3_lora_native.py:95-232 semantics, unchanged).
+    """
 
     def __init__(
         self,
         data_dir: str,
         split: str = "train",
         model_config: Optional[ModelConfig] = None,
+        transforms=None,
+        seed: int = 0,
     ):
         self.cfg = model_config or ModelConfig()
+        self.transforms = transforms
+        self.seed = seed
         self.split_dir = Path(data_dir) / split
         ann_file = self.split_dir / "_annotations.coco.json"
         if not ann_file.exists():
@@ -105,78 +116,119 @@ class COCOSegmentDataset:
     def __len__(self) -> int:
         return len(self.image_ids)
 
-    def load(self, idx: int) -> Sample:
+    def _category_text(self, class_names: List[str]) -> str:
+        """Category-aware query text (train_sam3_lora_native.py:196-210)."""
+        if not class_names:
+            return "object"
+        uniq = set(class_names)
+        if len(uniq) == 1:
+            return class_names[0].lower()
+        return Counter(class_names).most_common(1)[0][0].lower()
+
+    def load_datapoint(self, idx: int):
+        """Decode one image + annotations at native resolution into a
+        transform-ready :class:`~.transforms.Datapoint` (one category-aware
+        query, boxes absolute xyxy, full-res masks)."""
         from PIL import Image as PILImage
 
-        cfg = self.cfg
-        r = cfg.img_size
-        t_max = cfg.max_targets
-        m_res = cfg.mask_loss_resolution
+        from .transforms import Datapoint, Query
 
         img_id = self.image_ids[idx]
         info = self.images[img_id]
         pil = PILImage.open(self.split_dir / info["file_name"]).convert("RGB")
         orig_w, orig_h = pil.size
-        pil = pil.resize((r, r), PILImage.BILINEAR)
-        img = np.asarray(pil, dtype=np.float32) / 255.0
-        img = (img - IMAGE_MEAN) / IMAGE_STD
-        img = img.transpose(2, 0, 1)  # (3, R, R)
+        img = np.asarray(pil, dtype=np.uint8)
 
         anns = self.img_to_anns.get(img_id, [])
+        boxes, masks, crowds, class_names = [], [], [], []
+        for ann in anns:
+            bbox = ann.get("bbox")
+            if bbox is None:
+                continue
+            x, y, w, h = bbox
+            boxes.append([x, y, x + w, y + h])
+            class_names.append(
+                self.categories.get(ann.get("category_id", 0), "object")
+            )
+            crowds.append(bool(ann.get("iscrowd", 0)))
+            seg = ann.get("segmentation")
+            m = None
+            if seg:
+                try:
+                    m = segmentation_to_mask(seg, orig_h, orig_w).astype(np.uint8)
+                except Exception:
+                    m = None
+            masks.append(
+                m if m is not None else np.zeros((orig_h, orig_w), np.uint8)
+            )
+        query = Query(
+            text=self._category_text(class_names),
+            boxes=np.array(boxes, np.float32).reshape(-1, 4),
+            masks=np.stack(masks) if masks else np.zeros((0, orig_h, orig_w), np.uint8),
+            is_crowd=np.array(crowds, bool),
+            is_exhaustive=True,
+        )
+        return Datapoint(
+            image=img,
+            queries=[query],
+            coco_image_id=img_id,
+            original_size=(orig_h, orig_w),
+        )
+
+    def load(self, idx: int, epoch: int = 0) -> Sample:
+        cfg = self.cfg
+        r = cfg.img_size
+        t_max = cfg.max_targets
+        m_res = cfg.mask_loss_resolution
+
+        dp = self.load_datapoint(idx)
+        if self.transforms is not None:
+            rng = np.random.RandomState(
+                (self.seed * 1000003 + epoch * 131071 + idx) % (2**31 - 1)
+            )
+            dp = self.transforms(dp, rng)
+        else:
+            from .transforms import eval_transforms
+
+            dp = eval_transforms(r)(dp, np.random.RandomState(0))
+        img = dp.image  # (3, R, R) normalized by the pipeline's final step
+        if img.shape != (3, r, r):
+            raise ValueError(
+                f"transform pipeline must end at (3,{r},{r}), got {img.shape}"
+            )
+
         boxes = np.zeros((t_max, 4), np.float32)
         valid = np.zeros((t_max,), bool)
         masks = np.zeros((t_max, m_res, m_res), np.float32)
         mask_valid = np.zeros((t_max,), bool)
-        class_names: List[str] = []
-
+        q = dp.queries[0] if dp.queries else None
         n = 0
-        for ann in anns:
-            if n >= t_max:
-                break
-            bbox = ann.get("bbox")
-            if bbox is None:
-                continue
-            class_names.append(self.categories.get(ann.get("category_id", 0), "object"))
-            x, y, w, h = bbox
-            sx, sy = r / orig_w, r / orig_h
-            x0, y0, x1, y1 = x * sx, y * sy, (x + w) * sx, (y + h) * sy
-            # normalized cxcywh (train_sam3_lora_native.py:131-142)
-            boxes[n] = [
-                (x0 + x1) / 2 / r, (y0 + y1) / 2 / r, (x1 - x0) / r, (y1 - y0) / r,
-            ]
-            valid[n] = True
-            seg = ann.get("segmentation")
-            if seg:
-                try:
-                    m = segmentation_to_mask(seg, orig_h, orig_w)
-                    # nearest to model res then area-downsample to loss res
-                    mr = downsample_mask(m.astype(np.float32), m_res)
-                    masks[n] = mr
+        if q is not None:
+            for i in range(min(q.num_objects, t_max)):
+                x0, y0, x1, y1 = q.boxes[i]
+                # normalized cxcywh (train_sam3_lora_native.py:131-142)
+                boxes[n] = [
+                    (x0 + x1) / 2 / r, (y0 + y1) / 2 / r,
+                    (x1 - x0) / r, (y1 - y0) / r,
+                ]
+                valid[n] = True
+                if q.masks is not None and q.masks[i].any():
+                    masks[n] = downsample_mask(
+                        q.masks[i].astype(np.float32), m_res
+                    )
                     mask_valid[n] = True
-                except Exception:
-                    pass
-            n += 1
-
-        if class_names:
-            uniq = set(class_names)
-            text = (
-                class_names[0].lower()
-                if len(uniq) == 1
-                else Counter(class_names).most_common(1)[0][0].lower()
-            )
-        else:
-            text = "object"
+                n += 1
 
         return Sample(
-            image=img,
-            text=text,
+            image=np.ascontiguousarray(img, np.float32),
+            text=q.text if q is not None else "object",
             boxes=boxes,
             valid=valid,
             masks=masks,
             mask_valid=mask_valid,
-            is_exhaustive=True,
-            coco_image_id=img_id,
-            original_size=(orig_h, orig_w),
+            is_exhaustive=q.is_exhaustive if q is not None else True,
+            coco_image_id=dp.coco_image_id,
+            original_size=dp.original_size,
         )
 
 
@@ -258,7 +310,9 @@ class DataLoader:
         def produce():
             with ThreadPoolExecutor(max_workers=self.workers) as pool:
                 for idxs in batches_idx:
-                    samples = list(pool.map(self.ds.load, idxs))
+                    samples = list(
+                        pool.map(lambda i: self.ds.load(i, epoch=epoch), idxs)
+                    )
                     q.put(collate(samples, self.tok, self.ds.cfg))
             q.put(None)
 

@@ -1,3 +1,21 @@
-from .logging import setup_logging
+from .logging import (
+    setup_logging,
+    AverageMeter,
+    DurationMeter,
+    MemMeter,
+    ProgressMeter,
+    TensorBoardLogger,
+    trace_span,
+    capture_trace,
+)
 
-__all__ = ["setup_logging"]
+__all__ = [
+    "setup_logging",
+    "AverageMeter",
+    "DurationMeter",
+    "MemMeter",
+    "ProgressMeter",
+    "TensorBoardLogger",
+    "trace_span",
+    "capture_trace",
+]

@@ -295,7 +295,9 @@ from contextlib import contextmanager
 @contextmanager
 def cuda_to_cpu():
     """Redirect hard-coded device='cuda' tensor creation to CPU (the reference
-    precomputes sine position tables on cuda, position_encoding.py:47)."""
+    precomputes sine position tables on cuda, position_encoding.py:47) and
+    no-op ``Tensor.cuda()`` moves (the tracker hot-loads memories with
+    ``.cuda(non_blocking=True)``, sam3_tracker_base.py:660)."""
     import torch
 
     patched = {}
@@ -312,11 +314,14 @@ def cuda_to_cpu():
             return f
 
         setattr(torch, fname, wrap(orig))
+    orig_tensor_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
     try:
         yield
     finally:
         for fname, orig in patched.items():
             setattr(torch, fname, orig)
+        torch.Tensor.cuda = orig_tensor_cuda
 
 
 def import_ref(module: str):
