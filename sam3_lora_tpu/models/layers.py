@@ -335,6 +335,10 @@ class MultiHeadAttention(nn.Module):
         vh = split_heads(v, self.num_heads)
 
         mcfg = self.spec.model
+        # NOTE: routing the decoder's biased cross-attn (Lq=401, Lk=5184,
+        # boxRPB) through the flash kernel was MEASURED SLOWER end-to-end
+        # (1.56 vs 1.83 img/s/chip): the kernel's dbias pass costs more than
+        # the XLA exact path saves. Flash stays gated on BOTH seqs long.
         long_seq = (
             mcfg.use_flash_attention
             and qh.shape[2] >= mcfg.flash_attention_min_seq

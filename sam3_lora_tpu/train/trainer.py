@@ -231,6 +231,9 @@ class Trainer:
         self.mesh = mesh
         self.model = build_sam3_image_model(self.mcfg, lora=self.lcfg)
         self.base_checkpoint = base_checkpoint
+        # NOTE: switching dropout keys to the rbg PRNG was MEASURED SLOWER
+        # end-to-end (1.79 vs 1.83 img/s/chip) — threefry is not a bottleneck
+        # in this model; keep the default impl.
         self.rng = jax.random.PRNGKey(self.tcfg.seed)
 
         os.makedirs(self.tcfg.output_dir, exist_ok=True)

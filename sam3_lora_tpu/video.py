@@ -32,22 +32,37 @@ from .ops.nms import nms_masks
 
 
 class TrackState(NamedTuple):
-    """Fixed K-slot tracked-object state (one pytree, jit-carried)."""
+    """Fixed K-slot tracked-object state (one pytree, jit-carried).
+
+    Memory layout mirrors the reference tracker's per-object banks
+    (sam3_tracker_base.py:586-766) with static slots: per object,
+    ``num_maskmem`` spatial-memory frames (slot 0 = the spawn/"cond" frame,
+    slots 1.. = ring of recent frames, each with an age counter) plus a ring
+    of object pointers.
+    """
 
     alive: jnp.ndarray          # (K,) bool
     obj_ids: jnp.ndarray        # (K,) int32 — stable external ids, -1 free
     masks: jnp.ndarray          # (K, Hm, Wm) float32 last-frame mask logits
     scores: jnp.ndarray         # (K,) float32 running score
-    mem_feats: jnp.ndarray      # (K, M, mem_dim) memory bank tokens
-    mem_pos: jnp.ndarray        # (K, M, mem_dim)
-    mem_valid: jnp.ndarray      # (K, M) bool
+    maskmem: jnp.ndarray        # (K, N, mem_dim, Hf, Wf) spatial memories
+    maskmem_age: jnp.ndarray    # (K, N) int32 frames since written, -1 free
+    obj_ptrs: jnp.ndarray       # (K, P, d_model) pointer ring
+    obj_ptr_age: jnp.ndarray    # (K, P) int32, -1 free
     missing_frames: jnp.ndarray  # (K,) int32 keep-alive counter
     hotstart: jnp.ndarray       # (K,) int32 frames since spawn
+    frame_idx: jnp.ndarray      # () int32 current frame
     next_id: jnp.ndarray        # () int32
 
 
 def init_track_state(
-    num_slots: int, mem_tokens: int, mem_dim: int, mask_hw: Tuple[int, int]
+    num_slots: int,
+    mask_hw: Tuple[int, int],
+    num_maskmem: int = 7,
+    max_obj_ptrs: int = 16,
+    mem_dim: int = 64,
+    d_model: int = 256,
+    feat_hw: Tuple[int, int] = (72, 72),
 ) -> TrackState:
     k = num_slots
     return TrackState(
@@ -55,11 +70,15 @@ def init_track_state(
         obj_ids=jnp.full((k,), -1, jnp.int32),
         masks=jnp.zeros((k,) + tuple(mask_hw), jnp.float32),
         scores=jnp.zeros((k,), jnp.float32),
-        mem_feats=jnp.zeros((k, mem_tokens, mem_dim), jnp.float32),
-        mem_pos=jnp.zeros((k, mem_tokens, mem_dim), jnp.float32),
-        mem_valid=jnp.zeros((k, mem_tokens), jnp.bool_),
+        maskmem=jnp.zeros(
+            (k, num_maskmem, mem_dim) + tuple(feat_hw), jnp.float32
+        ),
+        maskmem_age=jnp.full((k, num_maskmem), -1, jnp.int32),
+        obj_ptrs=jnp.zeros((k, max_obj_ptrs, d_model), jnp.float32),
+        obj_ptr_age=jnp.full((k, max_obj_ptrs), -1, jnp.int32),
         missing_frames=jnp.zeros((k,), jnp.int32),
         hotstart=jnp.zeros((k,), jnp.int32),
+        frame_idx=jnp.int32(0),
         next_id=jnp.int32(0),
     )
 
@@ -113,7 +132,7 @@ def associate_and_update(
         spawn_dets.astype(jnp.int32)
     )
 
-    alive = alive | is_spawn
+    alive_new = alive | is_spawn
     masks = jnp.where(is_spawn[:, None, None], det_masks[det_for_slot], masks)
     scores = jnp.where(is_spawn, det_scores[det_for_slot], scores)
     missing = jnp.where(is_spawn, 0, missing)
@@ -122,25 +141,156 @@ def associate_and_update(
     obj_ids = jnp.where(
         is_spawn, state.next_id + spawn_rank.astype(jnp.int32), state.obj_ids
     )
-    obj_ids = jnp.where(alive, obj_ids, -1)
+    obj_ids = jnp.where(alive_new, obj_ids, -1)
 
-    return TrackState(
-        alive=alive,
+    # spawned slots start with a clean memory bank (their cond frame is
+    # written by the memory-update stage this same frame)
+    fresh = is_spawn | ~alive_new
+    maskmem_age = jnp.where(fresh[:, None], -1, state.maskmem_age)
+    obj_ptr_age = jnp.where(fresh[:, None], -1, state.obj_ptr_age)
+
+    return state._replace(
+        alive=alive_new,
         obj_ids=obj_ids,
         masks=masks,
         scores=scores,
-        mem_feats=state.mem_feats,
-        mem_pos=state.mem_pos,
-        mem_valid=state.mem_valid,
+        maskmem_age=maskmem_age,
+        obj_ptr_age=obj_ptr_age,
         missing_frames=missing,
         hotstart=hotstart,
         next_id=state.next_id + n_new.astype(jnp.int32),
     )
 
 
+# ---------------------------------------------------------------------------
+# Tracker propagation (TrackerCore over the K object slots as a batch)
+# ---------------------------------------------------------------------------
+
+
+def make_tracker_fns(core, num_maskmem: int = 7, max_obj_ptrs: int = 16):
+    """Build the two jitted tracker stages over a :class:`TrackerCore`:
+
+    ``propagate(params, state, vis, pos, hi0, hi1)`` — memory-conditioned
+    per-object mask prediction for all K slots (the reference's
+    ``run_tracker_propagation``, sam3_video_base.py:401-452, with objects as
+    the batch dimension instead of a python loop over per-GPU dicts);
+
+    ``update_memory(params, state, vis, masks, obj_logits, tokens)`` —
+    encode the final per-object masks into the ring-buffer memory banks +
+    object-pointer ring (``_encode_new_memory`` + pointer bookkeeping).
+    """
+
+    def propagate(params, state: TrackState, vis, pos, hi0, hi1):
+        k = state.alive.shape[0]
+        visk = jnp.broadcast_to(vis, (k,) + vis.shape[1:])
+        posk = jnp.broadcast_to(pos, (k,) + pos.shape[1:])
+        hi0k = jnp.broadcast_to(hi0, (k,) + hi0.shape[1:])
+        hi1k = jnp.broadcast_to(hi1, (k,) + hi1.shape[1:])
+
+        age = state.maskmem_age                       # (K, N)
+        # slot 0 = cond frame -> t_pos 0; ring slots: latest -> num_maskmem-1
+        tpos = jnp.clip(num_maskmem - age, 1, num_maskmem - 1)
+        tpos = tpos.at[:, 0].set(0)
+        mem_valid = age >= 0
+        # a ring frame older than the window drops out (cond never does)
+        mem_valid = mem_valid & (
+            (jnp.arange(age.shape[1])[None] == 0) | (age < num_maskmem)
+        )
+        pos_grid = _maskmem_pos_grid(core, state.maskmem.shape)
+        ptr_valid = state.obj_ptr_age >= 0
+        rel = jnp.maximum(state.obj_ptr_age, 0).astype(jnp.float32)
+
+        has_mem = mem_valid.any(axis=1)               # (K,)
+
+        def run(m):
+            mem, mpos, mmask, n_ptr = m.assemble_memory(
+                state.maskmem, pos_grid, tpos, mem_valid,
+                state.obj_ptrs,
+                rel,
+                ptr_valid,
+                num_frames=max_obj_ptrs,
+            )
+            # pointer-only banks could make every kv masked for dead slots;
+            # force at least the cond slot so softmax stays finite
+            mmask = mmask & ~jnp.all(mmask, axis=1, keepdims=True)
+            cond = m.condition_features(
+                visk, posk, mem, mpos, mem_mask=mmask,
+                num_obj_ptr_tokens=n_ptr,
+            )
+            no_mem = m.no_memory_features(visk)
+            cond = jnp.where(has_mem[:, None, None, None], cond, no_mem)
+            masks, iou, tokens, obj_logits = m.predict_masks(
+                cond, [hi0k, hi1k], multimask_output=True
+            )
+            # best-IoU mask (sam3_tracker_base.py:360-368)
+            best = jnp.argmax(iou, axis=-1)
+            bm = masks[jnp.arange(k), best]           # (K, Hm, Wm)
+            btok = tokens[jnp.arange(k), best]        # (K, D)
+            return bm, btok, obj_logits[..., 0], iou
+
+        return core.apply({"params": params}, method=lambda m: run(m))
+
+    def update_memory(params, state: TrackState, vis, masks, obj_logits, tokens):
+        """masks: (K, Hm, Wm) final per-object logits for this frame."""
+        k = state.alive.shape[0]
+        visk = jnp.broadcast_to(vis, (k,) + vis.shape[1:])
+
+        def run(m):
+            mem_out = m.encode_memory(
+                visk, masks[:, None], object_score_logits=obj_logits[:, None]
+            )
+            ptr = m.project_obj_ptr(tokens, (obj_logits > 0))
+            return mem_out["vision_features"], ptr
+
+        new_mem, new_ptr = core.apply({"params": params}, method=lambda m: run(m))
+
+        age = state.maskmem_age
+        has_cond = age[:, 0] >= 0
+        # cond slot written once at spawn; ring slot = oldest (or free) of 1..
+        ring_age = jnp.where(age[:, 1:] < 0, jnp.int32(10**6), age[:, 1:])
+        ring_slot = 1 + jnp.argmax(ring_age, axis=1)            # (K,)
+        write_slot = jnp.where(has_cond, ring_slot, 0)
+        slot_oh = jax.nn.one_hot(write_slot, age.shape[1], dtype=jnp.bool_)
+        write = state.alive[:, None] & slot_oh
+        maskmem = jnp.where(
+            write[..., None, None, None], new_mem[:, None], state.maskmem
+        )
+        age = jnp.where(write, 0, jnp.where(age >= 0, age + 1, age))
+
+        p_age = state.obj_ptr_age
+        p_ring = jnp.where(p_age < 0, jnp.int32(10**6), p_age)
+        p_slot = jnp.argmax(p_ring, axis=1)
+        p_oh = jax.nn.one_hot(p_slot, p_age.shape[1], dtype=jnp.bool_)
+        p_write = state.alive[:, None] & p_oh
+        obj_ptrs = jnp.where(p_write[..., None], new_ptr[:, None], state.obj_ptrs)
+        p_age = jnp.where(p_write, 0, jnp.where(p_age >= 0, p_age + 1, p_age))
+
+        return state._replace(
+            maskmem=maskmem,
+            maskmem_age=age,
+            obj_ptrs=obj_ptrs,
+            obj_ptr_age=p_age,
+            frame_idx=state.frame_idx + 1,
+        )
+
+    return propagate, update_memory
+
+
+def _maskmem_pos_grid(core, maskmem_shape):
+    """Shared sine spatial PE for memory tokens, broadcast to the bank shape
+    (the reference recomputes it per frame; it is input-independent)."""
+    from .ops.posenc import sine_pos_grid
+
+    k, n, c, h, w = maskmem_shape
+    pos = sine_pos_grid(h, w, num_pos_feats=c)  # (c, h, w)
+    return jnp.broadcast_to(pos[None, None], maskmem_shape).astype(jnp.float32)
+
+
 class VideoGrounder:
-    """Streaming text-prompted video grounding: detector every frame +
-    K-slot track state (reference Sam3VideoInference, round-1 slice)."""
+    """Streaming text-prompted video grounding: per frame, detector pass +
+    (optional) tracker memory propagation + association + slot update
+    (reference Sam3VideoInference / _det_track_one_frame,
+    sam3_video_base.py:151-292)."""
 
     def __init__(
         self,
@@ -148,25 +298,64 @@ class VideoGrounder:
         num_slots: int = 16,
         prob_threshold: float = 0.5,
         nms_iou: float = 0.7,
-        mem_tokens: int = 1,          # placeholder bank until TrackerCore wiring
-        mem_dim: int = 64,
+        num_maskmem: int = 7,
+        max_obj_ptrs: int = 16,
+        tracker_params=None,          # {"params": ...} subtree for TrackerCore
+        propagate: bool = False,      # run memory propagation each frame
     ):
+        from .models.layers import Spec
+        from .models.tracker import TrackerCore
+
         self.proc = processor
+        cfg = self.proc.cfg
         self.num_slots = num_slots
         self.prob_threshold = prob_threshold
         self.nms_iou = nms_iou
-        mr = self.proc.cfg.mask_loss_resolution
-        self.state = init_track_state(num_slots, mem_tokens, mem_dim, (mr, mr))
-        self._assoc = jax.jit(associate_and_update)
-        self._nms = jax.jit(
-            lambda m, s: nms_masks(m, s, self.nms_iou)
+        self.num_maskmem = num_maskmem
+        self.max_obj_ptrs = max_obj_ptrs
+        self.propagate = propagate
+
+        fh = fw = cfg.img_size // cfg.patch_size
+        self.feat_hw = (fh, fw)
+        self.mem_dim = max(cfg.d_model // 4, 8)
+        mr = cfg.mask_loss_resolution
+
+        self.core = TrackerCore(
+            Spec(model=cfg, lora=None),
+            d_model=cfg.d_model,
+            mem_dim=self.mem_dim,
+            num_maskmem=num_maskmem,
+            max_obj_ptrs=max_obj_ptrs,
+            feat_sizes=self.feat_hw,
         )
+        self.tracker_params = tracker_params
+        if propagate and tracker_params is None:
+            # standalone init (random weights) — real deployments load the
+            # converted reference tracker checkpoint here
+            key = jax.random.PRNGKey(0)
+            d = cfg.d_model
+            self.tracker_params = self.core.init(
+                {"params": key},
+                method=lambda m: _init_tracker_core(m, self, d),
+            )["params"]
+
+        self.state = init_track_state(
+            num_slots, (mr, mr), num_maskmem, max_obj_ptrs,
+            self.mem_dim, cfg.d_model, self.feat_hw,
+        )
+        self._assoc = jax.jit(associate_and_update)
+        self._nms = jax.jit(lambda m, s: nms_masks(m, s, self.nms_iou))
+        if propagate:
+            prop, upd = make_tracker_fns(self.core, num_maskmem, max_obj_ptrs)
+            self._propagate = jax.jit(prop)
+            self._update_memory = jax.jit(upd)
 
     def reset(self):
-        mr = self.proc.cfg.mask_loss_resolution
+        cfg = self.proc.cfg
+        mr = cfg.mask_loss_resolution
         self.state = init_track_state(
-            self.num_slots, self.state.mem_valid.shape[1],
-            self.state.mem_feats.shape[2], (mr, mr),
+            self.num_slots, (mr, mr), self.num_maskmem, self.max_obj_ptrs,
+            self.mem_dim, cfg.d_model, self.feat_hw,
         )
 
     def step(self, frame, prompt: str) -> Dict[str, Any]:
@@ -178,13 +367,77 @@ class VideoGrounder:
         scores = jnp.asarray(res["scores"], jnp.float32)
         keep = scores >= self.prob_threshold
         keep = keep & np.asarray(self._nms(masks, scores))
+
+        if self.propagate:
+            feats = self.proc._state["feats"]
+            poss = self.proc._state["poss"]
+            vis, pos = feats[-1], poss[-1]
+            hi0, hi1 = feats[0], feats[1]
+            pm, ptok, plogits, _ = self._propagate(
+                self.tracker_params, self.state, vis, pos, hi0, hi1
+            )
+            alive = self.state.alive
+            # propagated masks refresh live tracks before association;
+            # occluded objects (logit <= 0) count as missing this frame
+            self.state = self.state._replace(
+                masks=jnp.where(alive[:, None, None], pm, self.state.masks),
+            )
+
         self.state = self._assoc(
             self.state, masks, scores, jnp.asarray(keep),
             new_det_thresh=self.prob_threshold,
         )
+
+        if self.propagate:
+            feats = self.proc._state["feats"]
+            vis = feats[-1]
+            obj_logits = jnp.where(
+                self.state.alive, jnp.float32(10.0), jnp.float32(-10.0)
+            )
+            tokens = (
+                ptok
+                if ptok.shape[0] == self.state.alive.shape[0]
+                else jnp.zeros(
+                    (self.state.alive.shape[0], self.proc.cfg.d_model)
+                )
+            )
+            self.state = self._update_memory(
+                self.tracker_params, self.state, vis,
+                self.state.masks, obj_logits, tokens,
+            )
+        else:
+            self.state = self.state._replace(
+                frame_idx=self.state.frame_idx + 1
+            )
+
         alive = np.asarray(self.state.alive)
         return {
             "obj_ids": np.asarray(self.state.obj_ids)[alive],
             "scores": np.asarray(self.state.scores)[alive],
             "masks_lowres": np.asarray(self.state.masks)[alive] > 0,
         }
+
+
+def _init_tracker_core(m, grounder, d):
+    """Trace every TrackerCore submodule once for init (mirrors the tracker
+    parity test's init_all)."""
+    fh, fw = grounder.feat_hw
+    k = 1
+    vis = jnp.zeros((k, d, fh, fw))
+    mem = jnp.zeros((k, 1, grounder.mem_dim, fh, fw))
+    tp = jnp.zeros((k, 1), jnp.int32)
+    val = jnp.ones((k, 1), bool)
+    ptr = jnp.zeros((k, 2, d))
+    rel = jnp.zeros((k, 2))
+    pval = jnp.ones((k, 2), bool)
+    bank = m.assemble_memory(mem, mem, tp, val, ptr, rel, pval, num_frames=4)
+    cond = m.condition_features(vis, vis, bank[0], bank[1], bank[2], bank[3])
+    mr = grounder.proc.cfg.mask_loss_resolution
+    m.encode_memory(vis, jnp.zeros((k, 1, mr, mr)),
+                    object_score_logits=jnp.ones((k, 1)))
+    m.project_obj_ptr(jnp.zeros((k, d)), jnp.ones((k,)))
+    hi = [
+        jnp.zeros((k, d, 4 * fh, 4 * fw)),
+        jnp.zeros((k, d, 2 * fh, 2 * fw)),
+    ]
+    return m.predict_masks(cond, hi, multimask_output=True)

@@ -90,9 +90,12 @@ def main():
     timeit("global attn PALLAS fwd",
            lambda a: dot_product_attention(a, a, a, impl="pallas"), qg,
            flops=gflops)
-    timeit("global attn XLA fwd",
-           lambda a: dot_product_attention(a, a, a, impl="xla"), qg,
-           flops=gflops)
+    if os.environ.get("XLA_GLOBAL", "0") == "1":
+        # materializes f32 (B,16,5184,5184) logits = 13 GB at B=8 — OOMs the
+        # chip; opt-in at small B only
+        timeit("global attn XLA fwd",
+               lambda a: dot_product_attention(a, a, a, impl="xla"), qg,
+               flops=gflops)
 
     # one full windowed block fwd and fwd+bwd (embedded in ViT structures)
     from sam3_lora_tpu.config import LoRAConfig, ModelConfig
