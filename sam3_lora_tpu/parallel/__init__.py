@@ -5,6 +5,7 @@ from .mesh import (
     shard_batch,
     param_shardings,
 )
+from .frame_parallel import FrameParallelDetector
 from .dist_utils import (
     get_rank,
     get_world_size,
@@ -28,4 +29,5 @@ __all__ = [
     "broadcast_object",
     "filesystem_gather",
     "barrier",
+    "FrameParallelDetector",
 ]
