@@ -45,6 +45,8 @@ def main():
     cfg = ModelConfig(
         dtype="bfloat16",
         vit_remat_policy=os.environ.get("BENCH_REMAT", "full"),
+        enc_remat=os.environ.get("BENCH_ENC_REMAT", "1") == "1",
+        dec_remat=os.environ.get("BENCH_DEC_REMAT", "1") == "1",
     )
     # full_lora_config surface: rank 32, alpha 64, all six components
     lcfg = LoRAConfig(

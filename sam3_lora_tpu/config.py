@@ -59,6 +59,12 @@ class ModelConfig:
     #                 block (the attention kernel's replay is DCE'd because
     #                 its only consumer, x_mid, is saved)
     vit_remat_policy: str = "full"
+    # rematerialize the fusion-encoder / decoder layers in training. The ViT
+    # dominates memory so these are optional; turning them off trades ~0.4 GB
+    # of saved activations for skipping the 6-layer forward replay in the
+    # backward (the encoder's 5184-token attention replay is ~100 ms/step).
+    enc_remat: bool = True
+    dec_remat: bool = True
 
     # --- FPN neck (model_builder.py:99-107, necks.py:13-99) ---
     d_model: int = 256

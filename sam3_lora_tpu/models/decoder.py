@@ -227,7 +227,11 @@ class TransformerDecoder(nn.Module):
         presence_out_norm = (
             LayerNorm(name="presence_token_out_norm") if cfg.presence_token else None
         )
-        layer_cls = nn.remat(DecoderLayer, static_argnums=(9, 10)) if train else DecoderLayer
+        layer_cls = (
+            nn.remat(DecoderLayer, static_argnums=(9, 10))
+            if (train and cfg.dec_remat)
+            else DecoderLayer
+        )
 
         hs_list, ref_list, coord_list, pres_list = [], [], [], []
         pres_feats = None

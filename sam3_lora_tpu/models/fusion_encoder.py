@@ -102,7 +102,11 @@ class TransformerEncoderFusion(nn.Module):
     ) -> jnp.ndarray:
         cfg = self.spec.model
         out = src
-        layer_cls = nn.remat(EncoderLayer, static_argnums=(7,)) if train else EncoderLayer
+        layer_cls = (
+            nn.remat(EncoderLayer, static_argnums=(7,))
+            if (train and cfg.enc_remat)
+            else EncoderLayer
+        )
         for i in range(cfg.enc_layers):
             out = layer_cls(
                 self.spec,
