@@ -243,6 +243,7 @@ class ViT(nn.Module):
         # wraps each block in torch checkpoint, vitdet.py:836-838); nn.remat
         # keeps the parameter tree identical to the plain Block
         block_cls = _remat_block(cfg) if train else Block
+        global_cls = _remat_block(cfg, is_global=True) if train else Block
 
         if cfg.vit_scan_blocks:
             for g_idx, (run, glob) in enumerate(_scan_groups(cfg)):
@@ -260,13 +261,13 @@ class ViT(nn.Module):
                         name=f"scan_blocks_{g_idx}",
                     )(x, rates, train)
                 if glob is not None:
-                    x = block_cls(
+                    x = global_cls(
                         self.spec, window_size=0, name=f"blocks.{glob}"
                     )(x, jnp.float32(dpr[glob]), train)
         else:
             for i in range(cfg.vit_depth):
                 ws = 0 if i in cfg.vit_global_blocks else cfg.vit_window_size
-                x = block_cls(
+                x = (global_cls if ws == 0 else block_cls)(
                     self.spec, window_size=ws, name=f"blocks.{i}"
                 )(x, jnp.float32(dpr[i]), train)
         # ln_post is Identity in SAM3 (model_builder.py:92)
@@ -298,12 +299,19 @@ class _ScanBody(nn.Module):
         return x, None
 
 
-def _remat_block(cfg):
-    """Block wrapped in nn.remat with the configured save policy."""
+def _remat_block(cfg, is_global: bool = False):
+    """Block wrapped in nn.remat with the configured save policy.
+
+    "windows_only": the 4 GLOBAL blocks run unrematted (their backward then
+    skips the whole-block replay incl. the 5184-token flash forward) while
+    the 28 windowed blocks keep full remat — global blocks are 1/8 of the
+    depth, so the extra saved activations stay bounded."""
+    if cfg.vit_remat_policy == "windows_only" and is_global:
+        return Block
     policy = None
     if cfg.vit_remat_policy == "block_mid":
         policy = jax.checkpoint_policies.save_only_these_names("vit_block_mid")
-    elif cfg.vit_remat_policy != "full":
+    elif cfg.vit_remat_policy not in ("full", "windows_only"):
         raise ValueError(f"unknown vit_remat_policy: {cfg.vit_remat_policy}")
     return nn.remat(Block, static_argnums=(3,), policy=policy)
 
