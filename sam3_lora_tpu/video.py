@@ -440,4 +440,14 @@ def _init_tracker_core(m, grounder, d):
         jnp.zeros((k, d, 4 * fh, 4 * fw)),
         jnp.zeros((k, d, 2 * fh, 2 * fw)),
     ]
-    return m.predict_masks(cond, hi, multimask_output=True)
+    # pass point prompts + touch the mask-prompt path so point_embeddings /
+    # not_a_point_embed / mask_downscaling all materialize (needed by the
+    # interactive predictors that share these params)
+    out = m.predict_masks(
+        cond, hi,
+        point_coords=jnp.zeros((k, 2, 2)),
+        point_labels=jnp.ones((k, 2), jnp.int32),
+        multimask_output=True,
+    )
+    m.sam_prompt_encoder.embed_masks(jnp.zeros((k, 1, 4 * fh, 4 * fw)))
+    return out
