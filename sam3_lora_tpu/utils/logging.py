@@ -198,3 +198,36 @@ def capture_trace(log_dir: str):
     import jax
 
     return jax.profiler.trace(log_dir, create_perfetto_trace=True)
+
+
+def shape_logging_wrapper(fn, name: str = None, logger=None):
+    """Log each NOVEL input shape/dtype combination the wrapped callable
+    sees (reference ``perflib/compile.py:53-99``): the recompile-debugging
+    tool — under jit, every new combination printed here is a new trace.
+    """
+    import jax
+
+    seen = set()
+    label = name or getattr(fn, "__name__", "fn")
+    out = logger.info if logger else print
+
+    def describe(tree):
+        leaves = jax.tree_util.tree_leaves(tree)
+        return tuple(
+            (tuple(getattr(l, "shape", ())), str(getattr(l, "dtype", type(l))))
+            for l in leaves
+        )
+
+    def wrapped(*args, **kwargs):
+        sig = (describe(args), describe(kwargs))
+        if sig not in seen:
+            seen.add(sig)
+            shapes = [s for s, _ in sig[0]]
+            out(
+                f"[shapes] {label}: novel input combo #{len(seen)}: "
+                f"{shapes}"
+            )
+        return fn(*args, **kwargs)
+
+    wrapped.seen_shapes = seen
+    return wrapped

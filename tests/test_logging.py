@@ -54,3 +54,17 @@ def test_trace_span_noop_without_profiler():
     with trace_span("encoder"):
         x = np.ones(4).sum()
     assert x == 4.0
+
+
+def test_shape_logging_wrapper_detects_novel_shapes(capsys):
+    from sam3_lora_tpu.utils.logging import shape_logging_wrapper
+
+    calls = []
+    fn = shape_logging_wrapper(lambda x: calls.append(1) or x.sum(), name="f")
+    a = np.zeros((2, 3))
+    fn(a); fn(a)                      # same shape: logged once
+    fn(np.zeros((4, 3)))              # novel: logged again
+    out = capsys.readouterr().out
+    assert out.count("[shapes] f: novel input combo") == 2
+    assert len(fn.seen_shapes) == 2
+    assert len(calls) == 3
