@@ -65,6 +65,7 @@ class AgentResult:
     detections: Dict[str, Any]
     rounds: int
     transcript: List[Dict[str, str]] = field(default_factory=list)
+    som_image: Optional["Any"] = None  # set-of-marks overlay (render_som)
 
 
 def agent_inference(
@@ -74,8 +75,14 @@ def agent_inference(
     llm: Optional[Callable[[List[Dict[str, str]]], str]] = None,
     max_rounds: int = 4,
     threshold: float = 0.5,
+    render_som: bool = False,
 ) -> AgentResult:
-    """Run the propose-ground-critique loop for one concept on one image."""
+    """Run the propose-ground-critique loop for one concept on one image.
+
+    ``render_som=True`` attaches a set-of-marks overlay (viz.py) of each
+    round's detections to the result — the numbered-instance image the
+    reference agent shows the MLLM (sam3/agent/helpers/som_utils.py).
+    """
     llm = llm or RuleBasedRefiner()
     processor.set_image(image)
     messages = [{"role": "system", "content": SYSTEM_PROMPT}]
@@ -103,9 +110,17 @@ def agent_inference(
         if not m:
             break
         phrase = m.group(1).strip().strip('"')
-    return AgentResult(
+    result = AgentResult(
         phrase=phrase, detections=last, rounds=rnd, transcript=messages
     )
+    if render_som and last is not None and last.get("num_detections", 0):
+        import numpy as np
+
+        from .viz import draw_set_of_marks
+
+        masks = [np.asarray(m, bool) for m in last["masks_lowres"]]
+        result.som_image = draw_set_of_marks(np.asarray(image), masks)
+    return result
 
 
 def make_openai_client(base_url: str, api_key: str, model: str):
