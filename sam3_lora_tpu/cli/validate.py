@@ -57,6 +57,12 @@ def main(argv=None):
     parser.add_argument("--merge", action="store_true")
     parser.add_argument("--merge-iou", type=float, default=0.15)
     parser.add_argument("--output-json", type=str, default=None)
+    parser.add_argument("--dump-preds", type=str, default=None,
+                        help="also stream predictions to this dir "
+                             "(PredictionDumper; re-evaluable offline)")
+    parser.add_argument("--tide", action="store_true",
+                        help="append TIDE error decomposition "
+                             "(Loc/Dup/Bkg/Miss + oracle dAP)")
     args = parser.parse_args(argv)
 
     if not args.use_base_model and (args.config is None or args.weights is None):
@@ -142,6 +148,19 @@ def main(argv=None):
         if (idx + 1) % 25 == 0:
             print(f"  [{idx + 1}/{n_samples}] {time.time() - t0:.1f}s")
 
+    if args.dump_preds:
+        from ..eval.writer import PredictionDumper
+
+        dumper = PredictionDumper(args.dump_preds, top_k=100)
+        for iid, recs in dts.items():
+            if recs:
+                dumper.add(
+                    iid, [r["score"] for r in recs],
+                    masks=np.stack([r["mask"] for r in recs]),
+                )
+        path = dumper.finalize()
+        print(f"predictions dumped to {path}")
+
     map_res = evaluate_coco_map(gts, dts, iou_type="segm")
     cgf1_res = evaluate_cgf1(gts, dts, iou_type="segm")
     results = {
@@ -154,6 +173,13 @@ def main(argv=None):
         "nms_iou": args.nms_iou,
         "merged": bool(args.merge),
     }
+    if args.tide:
+        from ..eval.tide import tide_errors
+
+        results.update(
+            {k: float(v) for k, v in tide_errors(gts, dts).items()
+             if k != "mAP"}
+        )
     print(json.dumps(results, indent=2))
     if args.output_json:
         with open(args.output_json, "w") as f:
