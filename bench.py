@@ -39,6 +39,7 @@ def main():
     )
 
     batch_size = int(os.environ.get("BENCH_BATCH", "8"))
+    accum = int(os.environ.get("BENCH_ACCUM", "1"))
     steps = int(os.environ.get("BENCH_STEPS", "10"))
     n_chips = max(1, len(jax.devices()))
 
@@ -76,7 +77,7 @@ def main():
     trainable, frozen = split_trainable(params)
     tx, _ = make_optimizer(TrainConfig(num_epochs=1), steps_per_epoch=steps)
     opt_state = tx.init(trainable)
-    step = make_train_step(model, tx, LossConfig())
+    step = make_train_step(model, tx, LossConfig(), accum=accum)
 
     key = jax.random.PRNGKey(1)
     # warmup / compile. NOTE: through the axon TPU tunnel block_until_ready
