@@ -1,6 +1,7 @@
 from .coco_map import evaluate_coco_map
 from .cgf1 import evaluate_cgf1
 from .writer import PredictionDumper, evaluate_pred_file, load_predictions
+from .tide import tide_errors
 from .video_eval import (
     evaluate_hota,
     evaluate_clear_mot,
@@ -18,4 +19,5 @@ __all__ = [
     "evaluate_clear_mot",
     "evaluate_track_map",
     "track_iou",
+    "tide_errors",
 ]
