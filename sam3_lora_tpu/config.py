@@ -129,6 +129,16 @@ class ModelConfig:
     # threshold sits between them. XLA's windowed f32 logits are 1.5 GB
     # transient at bs8 — acceptable under per-block remat.
     flash_attention_min_seq: int = 2048
+    # Frozen-base GEMM quantization tier (ops/quant.py):
+    #   "none"     — bf16/fp32 GEMMs (exact parity with the reference)
+    #   "int8"     — forward GEMMs W8A8 on the int8 MXU path (~2x bf16 peak
+    #                on v5e); backward dx stays bf16 against dequant(W)
+    #   "int8_bwd" — dx GEMMs also int8 (adapter grads pick up dy-quant noise)
+    # Applies to LoRALinear GEMMs with min(in, out) >= base_quant_min_dim —
+    # by default the 1024-wide ViT trunk + text encoder, not the 256-wide
+    # detection heads.
+    base_quant: str = "none"
+    base_quant_min_dim: int = 512
 
     @property
     def feat_size(self) -> int:

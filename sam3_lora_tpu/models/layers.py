@@ -96,7 +96,21 @@ class LoRALinear(nn.Module):
             "kernel", self.kernel_init, (in_features, self.features), self.spec.param_dtype
         )
         dtype = self.spec.dtype
-        y = jnp.dot(x.astype(dtype), kernel.astype(dtype))
+        mcfg = self.spec.model
+        if (
+            mcfg.base_quant != "none"
+            and min(in_features, self.features) >= mcfg.base_quant_min_dim
+        ):
+            # int8 MXU tier for the frozen base GEMM (ops/quant.py). Exact
+            # w.r.t. the LoRA adapters: y = q(W)x + BAx, and the base is
+            # frozen so the quantization is a fixed (re)parameterization.
+            from ..ops.quant import int8_matmul
+
+            y = int8_matmul(
+                x.astype(dtype), kernel, mcfg.base_quant == "int8_bwd"
+            )
+        else:
+            y = jnp.dot(x.astype(dtype), kernel.astype(dtype))
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,), self.spec.param_dtype)
             y = y + bias.astype(dtype)

@@ -1,0 +1,115 @@
+"""Dynamic int8 GEMMs for the frozen SAM3 base (TPU MXU int8 tier).
+
+The LoRA training recipe freezes every base weight (reference
+``lora_layers.py:158-228``), which makes weight quantization *exact* with
+respect to what is being learned: the adapters train against the quantized
+base, ``y = q(W)x + (alpha/r)BAx``, so there is no train/serve mismatch.
+v5e's MXU runs int8 x int8 -> int32 at ~2x its bf16 FLOP rate, and the
+quantized weight halves base-weight HBM traffic.
+
+Scheme: symmetric per-output-channel weight scales + dynamic symmetric
+per-row activation scales (standard W8A8 dynamic quantization):
+
+    s_x[r]  = max_k |x[r, k]| / 127          (per token row)
+    s_w[n]  = max_k |W[k, n]| / 127          (per output channel)
+    y[r, n] = (int8(x/s_x) . int8(W/s_w))[r, n] * s_x[r] * s_w[n]
+
+Backward (``int8_matmul`` is a ``custom_vjp``): dx = dy @ dequant(W)^T.
+The grad is taken w.r.t. the *dequantized* weight the forward actually used,
+so adapter gradients are exact for the quantized forward. dW is returned as
+zeros — every consumer is a frozen leaf, XLA dead-code-eliminates it (the
+train step differentiates only the adapter pytree, train/trainer.py).
+With ``bwd_int8=True`` the dx GEMM itself also runs on the int8 MXU path
+(column scales fold into dy before quantization, keeping the contraction
+scale-free); this perturbs adapter gradients by the dy-quantization noise
+and is therefore a separate opt-in.
+
+No reference analogue: the reference's perf tier is fp8 flash attention only
+(``sam3/perflib/fa3.py``); PyTorch/CUDA has no frozen-base int8 GEMM path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _quant_lastdim(t: jnp.ndarray):
+    """Symmetric int8 quantization along the last axis.
+
+    Returns (q int8, scale f32 with keepdims). Zero rows get scale 1/127
+    (quantize to zeros) rather than dividing by zero.
+    """
+    t = t.astype(jnp.float32)
+    s = jnp.max(jnp.abs(t), axis=-1, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(t / s), -127.0, 127.0).astype(jnp.int8)
+    return q, s
+
+
+def quantize_weight(w: jnp.ndarray):
+    """(K, N) weight -> (int8 (K, N), f32 per-channel scale (1, N))."""
+    q, s = _quant_lastdim(w.T)
+    return q.T, s.T
+
+
+def _int8_dot(xq: jnp.ndarray, wq: jnp.ndarray) -> jnp.ndarray:
+    """int8 (..., K) . int8 (K, N) -> int32 (..., N) on the MXU."""
+    return jax.lax.dot_general(
+        xq,
+        wq,
+        (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def int8_matmul(x: jnp.ndarray, w: jnp.ndarray, bwd_int8: bool = False):
+    """y = x @ w with dynamic W8A8 int8 quantization (see module docstring).
+
+    x: (..., K) activations (any float dtype); w: (K, N) frozen weight.
+    Returns (..., N) in x.dtype.
+    """
+    return _int8_fwd(x, w, bwd_int8)[0]
+
+
+def _int8_fwd(x, w, bwd_int8):
+    xq, xs = _quant_lastdim(x)
+    wq, ws = quantize_weight(w)
+    y = _int8_dot(xq, wq).astype(jnp.float32) * xs * ws
+    return y.astype(x.dtype), (wq, ws)
+
+
+def _int8_bwd(bwd_int8, res, dy):
+    # y (and hence dy) carries x's dtype, so dx matches it without storing a
+    # dtype object in the residuals (dtype objects are not valid JAX types).
+    wq, ws = res
+    xdtype = dy.dtype
+    if bwd_int8:
+        # fold the per-channel scales into dy, then the contraction over N is
+        # scale-free: dx[r,k] = sum_n (dy*ws)[r,n] wq[k,n]
+        dyq, dys = _quant_lastdim(dy.astype(jnp.float32) * ws)
+        dx = (
+            jax.lax.dot_general(
+                dyq,
+                wq,
+                (((dyq.ndim - 1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            * dys
+        )
+    else:
+        w_deq = (wq.astype(jnp.float32) * ws).astype(xdtype)
+        dx = jax.lax.dot_general(
+            dy.astype(xdtype),
+            w_deq,
+            (((dy.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    dw = jnp.zeros(wq.shape, jnp.float32)  # frozen leaf: DCE'd by XLA
+    return dx.astype(xdtype), dw
+
+
+int8_matmul.defvjp(_int8_fwd, _int8_bwd)

@@ -153,22 +153,30 @@ def make_train_step(
             mbs = _split_microbatches(batch, accum)
 
             def scan_body(carry, xs):
-                acc_grads, acc_loss = carry
+                acc_grads, acc_losses = carry
                 mb, key = xs
-                (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                     trainable, frozen, mb, key
                 )
                 acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
-                return (acc_grads, acc_loss + loss), None
+                acc_losses = jax.tree_util.tree_map(jnp.add, acc_losses, losses)
+                return (acc_grads, acc_losses), None
 
             zero = jax.tree_util.tree_map(jnp.zeros_like, trainable)
             keys = jax.random.split(rng, accum)
-            (grads, loss), _ = jax.lax.scan(
-                scan_body, (zero, jnp.float32(0.0)), (mbs, keys)
+            # zero-init the full per-component loss dict so accum keeps the
+            # same stats surface as accum=1 (the reference logs every loss key
+            # regardless of no_sync accumulation)
+            mb0 = jax.tree_util.tree_map(lambda x: x[0], mbs)
+            aux_shape = jax.eval_shape(loss_fn, trainable, frozen, mb0, keys[0])[1]
+            zero_losses = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), aux_shape
+            )
+            (grads, losses), _ = jax.lax.scan(
+                scan_body, (zero, zero_losses), (mbs, keys)
             )
             grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
-            loss = loss / accum
-            losses = {"core_loss": loss}
+            losses = jax.tree_util.tree_map(lambda l: l / accum, losses)
         else:
             (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 trainable, frozen, batch, rng
@@ -294,6 +302,11 @@ class Trainer:
         start_epoch = 0
         t_start = time.time()
 
+        from ..utils.logging import MemMeter, TensorBoardLogger
+
+        tb = TensorBoardLogger(os.path.join(self.tcfg.output_dir, "tb"))
+        mem = MemMeter()
+
         # auto-resume (reference trainer.py:400-463)
         state_path = os.path.join(self.tcfg.output_dir, "train_state.npz")
         if os.path.exists(state_path):
@@ -323,7 +336,13 @@ class Trainer:
                     )
                     global_step += 1
                     if global_step % self.tcfg.logging_steps == 0 or global_step == 1:
-                        loss = float(losses["core_loss"])
+                        # one device_get for the WHOLE loss dict (one tunnel
+                        # round-trip), full per-component breakdown regardless
+                        # of accum (reference logs every Losses/* scalar)
+                        loss_np = {
+                            k: float(v) for k, v in jax.device_get(losses).items()
+                        }
+                        loss = loss_np["core_loss"]
                         if not np.isfinite(loss):
                             raise FloatingPointError(
                                 f"Loss is {loss} at step {global_step}"
@@ -343,8 +362,16 @@ class Trainer:
                                 "lr": lr,
                                 "data_time_s": round(t_data, 3),
                                 "elapsed_s": round(time.time() - t_start, 1),
+                                "mem_peak_gb": round(mem.peak_gb, 3),
+                                **{
+                                    f"loss/{k}": round(v, 5)
+                                    for k, v in loss_np.items()
+                                    if k != "core_loss"
+                                },
                             },
                         )
+                        tb.log_dict(loss_np, global_step, prefix="loss/")
+                        tb.log("lr", lr, global_step)
                     t_iter = time.time()
 
             train_loss = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
@@ -361,6 +388,7 @@ class Trainer:
                     "val_stats",
                     {"epoch": epoch, "val_loss": val_loss, "train_loss": train_loss},
                 )
+                tb.log("val_loss", val_loss, global_step)
                 if val_loss < best_val:
                     best_val = val_loss
                     self.save_adapters("best_lora.npz")
@@ -368,6 +396,7 @@ class Trainer:
             self.state.step = global_step
             self.save_state(epoch=epoch, best_val=best_val)
 
+        tb.close()
         return {
             "history": history,
             "best_val_loss": best_val,
@@ -377,6 +406,9 @@ class Trainer:
 
     # ------------------------------------------------------------------ #
     def evaluate(self, val_loader: DataLoader) -> float:
+        # Keep per-batch losses on device and fetch ONCE at the end: through
+        # the axon tunnel every float() is a host round-trip, so a per-batch
+        # fetch serializes the val loop on network latency.
         losses = []
         with self.mesh:
             for batch in val_loader.epoch(0):
@@ -384,8 +416,10 @@ class Trainer:
                 out = self.eval_step(
                     self.state.trainable, self.state.frozen, batch
                 )
-                losses.append(float(out["core_loss"]))
-        return float(np.mean(losses)) if losses else float("nan")
+                losses.append(out["core_loss"])
+        if not losses:
+            return float("nan")
+        return float(np.mean(jax.device_get(losses)))
 
     # ------------------------------------------------------------------ #
     def save_state(self, filename: str = "train_state.npz", **meta) -> str:

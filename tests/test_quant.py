@@ -1,0 +1,141 @@
+"""int8 frozen-base GEMM tier (ops/quant.py + LoRALinear base_quant).
+
+No reference analogue (the reference's perf tier is fp8 attention only,
+sam3/perflib/fa3.py); these tests pin the quantization scheme's own contract:
+fwd W8A8 within dynamic-quant error, bwd exact w.r.t. the dequantized weight,
+and the LoRALinear wiring (threshold gating + adapter-grad exactness).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sam3_lora_tpu.ops.quant import int8_matmul, quantize_weight
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return jax.random.PRNGKey(0)
+
+
+def test_forward_close_to_fp32(rng):
+    x = jax.random.normal(jax.random.fold_in(rng, 1), (64, 1024), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(rng, 2), (1024, 512), jnp.float32) * 0.02
+    y = int8_matmul(x, w, False)
+    y_ref = x @ w
+    rel = float(jnp.max(jnp.abs(y - y_ref)) / jnp.max(jnp.abs(y_ref)))
+    assert rel < 0.03  # dynamic W8A8: both operands carry <=1/254 rel noise
+
+
+def test_weight_quant_grid(rng):
+    # Per-channel symmetric: |w - dequant(w)| <= ws/2 elementwise, and the
+    # channel max hits the grid end exactly (127 * ws).
+    w = jax.random.normal(jax.random.fold_in(rng, 4), (256, 128), jnp.float32)
+    wq, ws = quantize_weight(w)
+    assert wq.dtype == jnp.int8 and ws.shape == (1, 128)
+    wdq = np.asarray(wq.astype(jnp.float32) * ws)
+    err = np.abs(np.asarray(w) - wdq)
+    assert np.all(err <= np.asarray(ws)[0] / 2 + 1e-7)
+    np.testing.assert_allclose(
+        np.abs(np.asarray(w)).max(axis=0), np.abs(wdq).max(axis=0), rtol=1e-5
+    )
+
+
+def test_backward_exact_vs_dequant_weight(rng):
+    # Linear head => dy is constant => dx must equal dy @ dequant(W)^T exactly.
+    x = jax.random.normal(jax.random.fold_in(rng, 5), (16, 512), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(rng, 6), (512, 256), jnp.float32) * 0.05
+    c = jax.random.normal(jax.random.fold_in(rng, 7), (16, 256), jnp.float32)
+    g = jax.grad(lambda x: jnp.sum(int8_matmul(x, w, False) * c))(x)
+    wq, ws = quantize_weight(w)
+    wdq = wq.astype(jnp.float32) * ws
+    g_ref = jax.grad(lambda x: jnp.sum((x @ wdq) * c))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_backward_int8_variant_close(rng):
+    x = jax.random.normal(jax.random.fold_in(rng, 8), (16, 512), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(rng, 9), (512, 256), jnp.float32) * 0.05
+    c = jax.random.normal(jax.random.fold_in(rng, 10), (16, 256), jnp.float32)
+    g8 = jax.grad(lambda x: jnp.sum(int8_matmul(x, w, True) * c))(x)
+    wq, ws = quantize_weight(w)
+    wdq = wq.astype(jnp.float32) * ws
+    g_ref = jax.grad(lambda x: jnp.sum((x @ wdq) * c))(x)
+    rel = float(jnp.max(jnp.abs(g8 - g_ref)) / jnp.max(jnp.abs(g_ref)))
+    assert rel < 0.03
+
+
+def test_bf16_and_batched_and_jit(rng):
+    x = jax.random.normal(jax.random.fold_in(rng, 11), (2, 8, 1024), jnp.bfloat16)
+    w = jax.random.normal(jax.random.fold_in(rng, 12), (1024, 512), jnp.float32)
+    y = jax.jit(lambda x: int8_matmul(x, w, False))(x)
+    assert y.shape == (2, 8, 512) and y.dtype == jnp.bfloat16
+    g = jax.jit(
+        jax.grad(lambda x: jnp.sum(int8_matmul(x, w, False).astype(jnp.float32)))
+    )(x)
+    assert g.shape == x.shape and g.dtype == jnp.bfloat16
+
+
+def test_zero_rows_and_channels(rng):
+    x = jnp.zeros((4, 64), jnp.float32)
+    w = jnp.zeros((64, 32), jnp.float32)
+    y = int8_matmul(x, w, False)
+    assert np.all(np.isfinite(np.asarray(y))) and float(jnp.abs(y).max()) == 0.0
+
+
+def test_lora_linear_base_quant_gating_and_adapter_grads(rng):
+    """base_quant wires into LoRALinear above min_dim only; adapter grads stay
+    exact for the quantized forward (y = q(W)x + BAx)."""
+    from sam3_lora_tpu.config import LoRAConfig, ModelConfig
+    from sam3_lora_tpu.models.layers import LoRALinear, Spec
+
+    mcfg = ModelConfig(
+        dtype="float32", param_dtype="float32", base_quant="int8", base_quant_min_dim=512
+    )
+    lcfg = LoRAConfig(rank=4, alpha=8.0, dropout=0.0, target_modules=("big",))
+    spec = Spec(model=mcfg, lora=lcfg)
+
+    import flax.linen as nn
+
+    class Wrap(nn.Module):
+        spec: Spec
+        feat: int
+
+        @nn.compact
+        def __call__(self, x):
+            # LoRA path targeting works on the module path, so the Linear must
+            # be a *submodule* named "big" (root modules have an empty path)
+            return LoRALinear(features=self.feat, spec=self.spec, name="big")(x)
+
+    x = jax.random.normal(jax.random.fold_in(rng, 13), (4, 1024), jnp.float32)
+    big = Wrap(spec=spec, feat=1024)
+    params = big.init(jax.random.fold_in(rng, 14), x)
+
+    # quantized forward == q(W) x + b + scaled BA x (B zero-init => just base)
+    y = big.apply(params, x)
+    k = params["params"]["big"]["kernel"]
+    b = params["params"]["big"]["bias"]
+    wq, ws = quantize_weight(k)
+    # x here is NOT on the int8 grid, so compare against the full scheme
+    y_manual = int8_matmul(x, k, False) + b
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_manual), rtol=1e-5, atol=1e-5)
+
+    # adapter grad nonzero and finite under the quantized base (lora_b: with
+    # B zero-init, grad_A is structurally zero at init but grad_B is not)
+    def loss(p):
+        return jnp.sum(big.apply(p, x) ** 2)
+
+    g = jax.grad(loss)(params)
+    gb = np.asarray(g["params"]["big"]["lora_b"])
+    assert np.all(np.isfinite(gb)) and np.abs(gb).max() > 0
+
+    # below min_dim: plain fp path (bit-identical to base_quant="none")
+    xs = jax.random.normal(jax.random.fold_in(rng, 15), (4, 128), jnp.float32)
+    small = Wrap(spec=spec, feat=128)
+    ps = small.init(jax.random.fold_in(rng, 16), xs)
+    spec_off = Spec(model=ModelConfig(dtype="float32", param_dtype="float32"), lora=lcfg)
+    small_off = Wrap(spec=spec_off, feat=128)
+    np.testing.assert_array_equal(
+        np.asarray(small.apply(ps, xs)), np.asarray(small_off.apply(ps, xs))
+    )

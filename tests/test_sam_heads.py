@@ -12,7 +12,10 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ref_oracle import HAS_REF, import_ref
 
-pytestmark = pytest.mark.skipif(not HAS_REF, reason="reference not mounted")
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not HAS_REF, reason="reference not mounted"),
+]
 
 D = 32          # transformer dim (reference: 256)
 HW = 8          # feature grid (reference: 72)

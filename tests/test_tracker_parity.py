@@ -25,7 +25,10 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ref_oracle import HAS_REF, cuda_to_cpu, import_ref
 
-pytestmark = pytest.mark.skipif(not HAS_REF, reason="reference not mounted")
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not HAS_REF, reason="reference not mounted"),
+]
 
 H = W = 72          # stride-14 grid of 1008^2 (fixed by the ref RoPE tables)
 D = 256

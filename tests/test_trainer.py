@@ -6,6 +6,8 @@ import tempfile
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 
 from sam3_lora_tpu.config import LoRAConfig, TrainConfig, tiny_model_config
