@@ -52,7 +52,8 @@ def main():
         base_quant=os.environ.get("BENCH_QUANT", "none"),
         vit_remat_policy=os.environ.get("BENCH_REMAT", "full"),
         enc_remat=os.environ.get("BENCH_ENC_REMAT", "1") == "1",
-        dec_remat=os.environ.get("BENCH_DEC_REMAT", "1") == "1",
+        # measured on v5e bs8: decoder remat OFF is a pure win (config.py:62-68)
+        dec_remat=os.environ.get("BENCH_DEC_REMAT", "0") == "1",
     )
     # full_lora_config surface: rank 32, alpha 64, all six components
     lcfg = LoRAConfig(

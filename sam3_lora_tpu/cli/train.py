@@ -55,7 +55,11 @@ def main(argv=None):
         train_cfg=tcfg,
         base_checkpoint=msec.get("base_checkpoint"),
     )
-    train_ds = COCOSegmentDataset(tcfg.data_dir, "train", model_config=mcfg)
+    train_ds = COCOSegmentDataset(
+        tcfg.data_dir, "train", model_config=mcfg,
+        per_category_queries=tcfg.per_category_queries,
+        include_negatives=tcfg.include_negatives,
+    )
     try:
         val_ds = COCOSegmentDataset(tcfg.data_dir, "valid", model_config=mcfg)
         val_loader = DataLoader(

@@ -284,6 +284,11 @@ class TrainConfig:
     gradient_accumulation_steps: int = 1
     output_dir: str = "outputs/sam3_lora"
     save_lora_only: bool = True
+    # COCO_FROM_JSON query generation (coco_json_loaders.py:102-280): one
+    # query per (image, category) instead of one per image; with negatives,
+    # absent categories become empty-target "concept absent" queries.
+    per_category_queries: bool = False
+    include_negatives: bool = False
 
     @staticmethod
     def from_yaml_dict(cfg: Dict[str, Any]) -> "TrainConfig":

@@ -96,6 +96,8 @@ class COCOSegmentDataset:
         model_config: Optional[ModelConfig] = None,
         transforms=None,
         seed: int = 0,
+        per_category_queries: bool = False,
+        include_negatives: bool = False,
     ):
         self.cfg = model_config or ModelConfig()
         self.transforms = transforms
@@ -113,8 +115,31 @@ class COCOSegmentDataset:
             self.img_to_anns.setdefault(ann["image_id"], []).append(ann)
         self.categories = {c["id"]: c["name"] for c in self.coco["categories"]}
 
+        # Datapoint index space (COCO_FROM_JSON semantics,
+        # sam3/train/data/coco_json_loaders.py:102-280): default is one
+        # category-aware query per image; with ``per_category_queries`` each
+        # (image, category) pair is its own datapoint — the reference's
+        # category chunking with the queries dim unrolled into the batch dim
+        # (our static-shape design runs one text query per batch row).
+        # ``include_negatives`` adds (image, absent-category) datapoints: the
+        # query text names a category with NO instances, targets are empty,
+        # and is_exhaustive stays True ("none present" is exhaustive
+        # knowledge) — this is what trains "concept absent" for cgF1's
+        # image-level term.
+        self._datapoints: List[Tuple[int, Optional[int]]] = []
+        if per_category_queries:
+            for img_id in self.image_ids:
+                present = {
+                    a.get("category_id", 0) for a in self.img_to_anns.get(img_id, [])
+                }
+                for cat_id in sorted(self.categories):
+                    if cat_id in present or include_negatives:
+                        self._datapoints.append((img_id, cat_id))
+        else:
+            self._datapoints = [(i, None) for i in self.image_ids]
+
     def __len__(self) -> int:
-        return len(self.image_ids)
+        return len(self._datapoints)
 
     def _category_text(self, class_names: List[str]) -> str:
         """Category-aware query text (train_sam3_lora_native.py:196-210)."""
@@ -128,18 +153,23 @@ class COCOSegmentDataset:
     def load_datapoint(self, idx: int):
         """Decode one image + annotations at native resolution into a
         transform-ready :class:`~.transforms.Datapoint` (one category-aware
-        query, boxes absolute xyxy, full-res masks)."""
+        query, boxes absolute xyxy, full-res masks). In per-category mode the
+        annotations are filtered to the datapoint's category and the query
+        text is that category's name (possibly with zero instances — a
+        negative query)."""
         from PIL import Image as PILImage
 
         from .transforms import Datapoint, Query
 
-        img_id = self.image_ids[idx]
+        img_id, cat_id = self._datapoints[idx]
         info = self.images[img_id]
         pil = PILImage.open(self.split_dir / info["file_name"]).convert("RGB")
         orig_w, orig_h = pil.size
         img = np.asarray(pil, dtype=np.uint8)
 
         anns = self.img_to_anns.get(img_id, [])
+        if cat_id is not None:
+            anns = [a for a in anns if a.get("category_id", 0) == cat_id]
         boxes, masks, crowds, class_names = [], [], [], []
         for ann in anns:
             bbox = ann.get("bbox")
@@ -162,7 +192,11 @@ class COCOSegmentDataset:
                 m if m is not None else np.zeros((orig_h, orig_w), np.uint8)
             )
         query = Query(
-            text=self._category_text(class_names),
+            text=(
+                self.categories[cat_id].lower()
+                if cat_id is not None
+                else self._category_text(class_names)
+            ),
             boxes=np.array(boxes, np.float32).reshape(-1, 4),
             masks=np.stack(masks) if masks else np.zeros((0, orig_h, orig_w), np.uint8),
             is_crowd=np.array(crowds, bool),
@@ -337,13 +371,19 @@ def make_synthetic_coco(
     img_size: int = 64,
     category: str = "crack",
     seed: int = 0,
+    extra_categories: Sequence[str] = (),
 ) -> str:
-    """Write a tiny COCO dataset of random rectangles (polygon segmentations)."""
+    """Write a tiny COCO dataset of random rectangles (polygon segmentations).
+
+    ``extra_categories`` adds more category names; objects are assigned round-
+    robin across all categories, so with >1 category most images have absent
+    categories (negative-query material for per-category mode)."""
     from PIL import Image as PILImage
 
     rng = np.random.RandomState(seed)
     split_dir = Path(root) / split
     split_dir.mkdir(parents=True, exist_ok=True)
+    cat_names = [category, *extra_categories]
     images, annotations = [], []
     ann_id = 1
     for i in range(num_images):
@@ -359,7 +399,7 @@ def make_synthetic_coco(
                 {
                     "id": ann_id,
                     "image_id": i,
-                    "category_id": 1,
+                    "category_id": 1 + (ann_id - 1) % len(cat_names),
                     "bbox": [float(x), float(y), float(w), float(h)],
                     "area": float(w * h),
                     "iscrowd": 0,
@@ -380,7 +420,9 @@ def make_synthetic_coco(
     coco = {
         "images": images,
         "annotations": annotations,
-        "categories": [{"id": 1, "name": category}],
+        "categories": [
+            {"id": j + 1, "name": n} for j, n in enumerate(cat_names)
+        ],
     }
     with open(split_dir / "_annotations.coco.json", "w") as f:
         json.dump(coco, f)

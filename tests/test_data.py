@@ -1,0 +1,124 @@
+"""Data pipeline: per-category queries, negative queries, weak-negative loss
+masking (COCO_FROM_JSON semantics, sam3/train/data/coco_json_loaders.py:102-280
++ loss_fns.py:443-457)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sam3_lora_tpu.config import ModelConfig
+from sam3_lora_tpu.models.sam3_image import Targets
+from sam3_lora_tpu.train.data import COCOSegmentDataset, DataLoader, make_synthetic_coco
+from sam3_lora_tpu.train.losses import LossConfig, iabce_loss
+
+
+@pytest.fixture(scope="module")
+def multi_cat_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mcoco")
+    return make_synthetic_coco(
+        str(root), "train", num_images=6, img_size=64,
+        extra_categories=("pothole", "patch"),
+    )
+
+
+def tiny_cfg():
+    from tests.test_trainer import tiny_model_config
+
+    return tiny_model_config()
+
+
+class TestPerCategoryQueries:
+    def test_default_mode_unchanged(self, multi_cat_root):
+        ds = COCOSegmentDataset(multi_cat_root, "train", model_config=tiny_cfg())
+        assert len(ds) == 6  # one datapoint per image
+
+    def test_positives_only(self, multi_cat_root):
+        ds = COCOSegmentDataset(
+            multi_cat_root, "train", model_config=tiny_cfg(),
+            per_category_queries=True, include_negatives=False,
+        )
+        assert len(ds) > 6  # multiple categories present in some images
+        for i in range(len(ds)):
+            dp = ds.load_datapoint(i)
+            img_id, cat_id = ds._datapoints[i]
+            q = dp.queries[0]
+            assert q.text == ds.categories[cat_id].lower()
+            assert q.num_objects >= 1  # positives only
+            # every annotation in this datapoint belongs to cat_id
+            all_anns = [
+                a for a in ds.img_to_anns[img_id]
+                if a.get("category_id") == cat_id
+            ]
+            assert q.num_objects == len(all_anns)
+
+    def test_negatives_included(self, multi_cat_root):
+        ds_pos = COCOSegmentDataset(
+            multi_cat_root, "train", model_config=tiny_cfg(),
+            per_category_queries=True, include_negatives=False,
+        )
+        ds = COCOSegmentDataset(
+            multi_cat_root, "train", model_config=tiny_cfg(),
+            per_category_queries=True, include_negatives=True,
+        )
+        assert len(ds) == 6 * 3  # every (image, category) pair
+        assert len(ds) > len(ds_pos)
+        n_neg = 0
+        for i in range(len(ds)):
+            s = ds.load(i)
+            if not s.valid.any():
+                n_neg += 1
+                # negative query: named category, empty targets, exhaustive
+                assert s.is_exhaustive
+                assert s.text in ("crack", "pothole", "patch")
+                assert not s.mask_valid.any()
+        assert n_neg == len(ds) - len(ds_pos)
+
+    def test_loader_batches_mixed_pos_neg(self, multi_cat_root):
+        ds = COCOSegmentDataset(
+            multi_cat_root, "train", model_config=tiny_cfg(),
+            per_category_queries=True, include_negatives=True,
+        )
+        loader = DataLoader(ds, batch_size=6, shuffle=True, num_workers=2)
+        batch = next(iter(loader.epoch(0)))
+        per_row = np.asarray(batch.targets.valid).any(axis=1)
+        assert batch.images.shape[0] == 6
+        # with 18 datapoints and 1/3+ negatives, a shuffled 6-batch virtually
+        # always mixes; assert shapes/static padding held regardless
+        assert np.asarray(batch.targets.is_exhaustive).all()
+        assert batch.token_ids.shape[0] == 6
+        assert per_row.shape == (6,)
+
+
+class TestWeakNegativeMasking:
+    """is_exhaustive=False drops negative supervision (loss_fns.py:443-457)."""
+
+    def _loss(self, is_exhaustive: bool):
+        b, q, t = 1, 8, 4
+        key = jax.random.PRNGKey(0)
+        pred_logits = jax.random.normal(key, (b, q, 1)) * 3.0
+        pred_xyxy = jnp.tile(jnp.array([0.2, 0.2, 0.6, 0.6]), (b, q, 1))
+        boxes = jnp.tile(jnp.array([0.4, 0.4, 0.4, 0.4]), (b, t, 1))
+        targets = Targets(
+            boxes=boxes,
+            valid=jnp.zeros((b, t), bool),  # NO positives: pure negative image
+            masks=None,
+            mask_valid=jnp.zeros((b, t), bool),
+            is_exhaustive=jnp.array([is_exhaustive]),
+        )
+        idx = jnp.zeros((b, t), jnp.int32)
+        pair_valid = jnp.zeros((b, t), bool)
+        out = iabce_loss(
+            pred_logits, pred_xyxy, targets, idx, pair_valid,
+            jnp.float32(1.0), LossConfig(),
+        )
+        return float(out["loss_ce"])
+
+    def test_exhaustive_negatives_supervised(self):
+        assert self._loss(True) > 0.01
+
+    def test_non_exhaustive_negatives_masked(self):
+        # all supervision on this image is negative; non-exhaustive masks it
+        assert self._loss(False) < 1e-6
+        assert self._loss(False) < self._loss(True)
