@@ -51,8 +51,16 @@ class TrackState(NamedTuple):
     obj_ptr_age: jnp.ndarray    # (K, P) int32, -1 free
     missing_frames: jnp.ndarray  # (K,) int32 keep-alive counter
     hotstart: jnp.ndarray       # (K,) int32 frames since spawn
+    last_occluded: jnp.ndarray  # (K,) int32 frame of last occlusion, -1 never
     frame_idx: jnp.ndarray      # () int32 current frame
     next_id: jnp.ndarray        # () int32
+
+
+NEVER_OCCLUDED = -1
+# larger than any frame index: hotstart-removed objects always lose
+# overlap-suppression ties (sam3_video_base.py:848-866)
+ALWAYS_OCCLUDED = 100000
+NO_OBJ_LOGIT = -10.0
 
 
 def init_track_state(
@@ -78,6 +86,7 @@ def init_track_state(
         obj_ptr_age=jnp.full((k, max_obj_ptrs), -1, jnp.int32),
         missing_frames=jnp.zeros((k,), jnp.int32),
         hotstart=jnp.zeros((k,), jnp.int32),
+        last_occluded=jnp.full((k,), NEVER_OCCLUDED, jnp.int32),
         frame_idx=jnp.int32(0),
         next_id=jnp.int32(0),
     )
@@ -125,8 +134,13 @@ def associate_and_update(
     slot_order = jnp.argsort(~free)        # free slots first
     n_new = jnp.minimum(out.new_det.sum(), free.sum())
     take = jnp.arange(k) < n_new
-    spawn_slots = slot_order[: k]
-    spawn_dets = new_order[: k]
+    spawn_slots = slot_order[:k]
+    # fewer detection rows than slots is fine: pad the det order (padded
+    # entries are never taken since n_new <= N)
+    n_det = new_order.shape[0]
+    spawn_dets = (
+        jnp.pad(new_order, (0, k - n_det))[:k] if n_det < k else new_order[:k]
+    )
     is_spawn = jnp.zeros((k,), jnp.bool_).at[spawn_slots].set(take)
     det_for_slot = jnp.zeros((k,), jnp.int32).at[spawn_slots].set(
         spawn_dets.astype(jnp.int32)
@@ -149,6 +163,15 @@ def associate_and_update(
     maskmem_age = jnp.where(fresh[:, None], -1, state.maskmem_age)
     obj_ptr_age = jnp.where(fresh[:, None], -1, state.obj_ptr_age)
 
+    # retired-this-frame slots always lose later overlap-suppression ties
+    # (obj_ids_newly_removed -> ALWAYS_OCCLUDED, sam3_video_base.py:848-866);
+    # spawned slots start never-occluded
+    removed = state.alive & ~alive
+    last_occluded = jnp.where(
+        removed, ALWAYS_OCCLUDED, state.last_occluded
+    )
+    last_occluded = jnp.where(is_spawn, NEVER_OCCLUDED, last_occluded)
+
     return state._replace(
         alive=alive_new,
         obj_ids=obj_ids,
@@ -158,7 +181,207 @@ def associate_and_update(
         obj_ptr_age=obj_ptr_age,
         missing_frames=missing,
         hotstart=hotstart,
+        last_occluded=last_occluded,
         next_id=state.next_id + n_new.astype(jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video heuristics tail (sam3_video_base.py:505-1014), slot-native
+# ---------------------------------------------------------------------------
+
+
+def fill_holes_in_mask_scores(
+    mask_logits: jnp.ndarray,
+    max_area: int,
+    fill_holes: bool = True,
+    remove_sprinkles: bool = True,
+) -> jnp.ndarray:
+    """Fill small background holes (-> +0.1) and remove small foreground
+    sprinkles (-> -0.1) in mask logits (reference
+    ``sam3_tracker_utils.py:369-406``, Triton CC replaced by the XLA
+    label-propagation CC in ``ops/cc.py``).
+
+    ``mask_logits``: (..., H, W); sprinkle removal thresholds at
+    ``min(max_area, foreground_area // 2)`` per mask, exactly like the
+    reference. Runs as a ``lax.map`` over the flattened leading dims so the
+    fixpoint CC never materializes all masks' label grids at once.
+    """
+    if max_area <= 0:
+        return mask_logits
+    from .ops.cc import component_sizes, connected_components
+
+    shape = mask_logits.shape
+    flat = mask_logits.reshape((-1,) + shape[-2:])
+
+    def one(m):
+        if fill_holes:
+            bg = m <= 0
+            lab = connected_components(bg)
+            area = jnp.where(
+                lab >= 0, component_sizes(lab)[jnp.clip(lab, 0)], 0
+            )
+            small = bg & (area <= max_area)
+            m = jnp.where(small, jnp.float32(0.1), m)
+        if remove_sprinkles:
+            fg = m > 0
+            lab = connected_components(fg)
+            area = jnp.where(
+                lab >= 0, component_sizes(lab)[jnp.clip(lab, 0)], 0
+            )
+            thr = jnp.minimum(
+                jnp.int32(max_area), fg.sum().astype(jnp.int32) // 2
+            )
+            small = fg & (area <= thr)
+            m = jnp.where(small, jnp.float32(-0.1), m)
+        return m
+
+    return jax.lax.map(one, flat).reshape(shape)
+
+
+def suppress_by_recent_occlusion(
+    state: TrackState,
+    iou_threshold: float,
+    reverse: bool = False,
+) -> TrackState:
+    """Suppress overlapping track masks in favour of the less-recently
+    occluded object (reference
+    ``_suppress_overlapping_based_on_recent_occlusion`` +
+    ``_get_objects_to_suppress_based_on_most_recently_occluded``,
+    sam3_video_base.py:819-1097), then record this frame's occlusions.
+
+    Literal reference semantics: for an overlapping pair (i, j), i is
+    suppressed iff ``occ_i > occ_j`` AND ``occ_j > -1`` (both must have been
+    occluded before; the more recently occluded one loses). Suppressed masks
+    are set to ``NO_OBJ_LOGIT`` before memory encoding; occluded-or-
+    suppressed objects get ``last_occluded = frame_idx``.
+    """
+    masks = state.masks
+    alive = state.alive
+    occ = state.last_occluded
+    k = alive.shape[0]
+    binary = masks > 0
+
+    from .ops.masks import mask_iou
+
+    iou = mask_iou(binary, binary)                          # (K, K)
+    pair = alive[:, None] & alive[None, :]
+    upper = jnp.triu(jnp.ones((k, k), jnp.bool_), 1)
+    over = (iou >= iou_threshold) & pair & upper
+
+    occ_i = occ[:, None]
+    occ_j = occ[None, :]
+    cmp = jnp.greater if not reverse else jnp.less
+    sup_i = over & cmp(occ_i, occ_j) & (occ_j > NEVER_OCCLUDED)
+    sup_j = over & cmp(occ_j, occ_i) & (occ_i > NEVER_OCCLUDED)
+    to_suppress = sup_i.any(axis=1) | sup_j.any(axis=0)
+
+    is_occluded = ~binary.any(axis=(-2, -1))
+    occ_or_sup = (is_occluded | to_suppress) & alive
+    new_occ = jnp.where(occ_or_sup, state.frame_idx, occ)
+    new_masks = jnp.where(
+        to_suppress[:, None, None], jnp.float32(NO_OBJ_LOGIT), masks
+    )
+    return state._replace(masks=new_masks, last_occluded=new_occ)
+
+
+def plan_reconditioning(
+    state: TrackState,
+    det_masks: jnp.ndarray,       # (N, Hm, Wm) detector mask logits
+    det_scores: jnp.ndarray,      # (N,)
+    new_det: jnp.ndarray,         # (N,) bool (association output)
+    iou: jnp.ndarray,             # (N, K) det-x-track mask IoU (association)
+    recondition_every: int = -1,
+    bbox_iou_thresh: float = 0.0,
+    det_score_thresh: float = 0.8,
+    high_conf_thresh: float = 0.8,
+    high_iou_thresh: float = 0.8,
+    obj_score_thresh: float = 0.8,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Decide which slots to recondition and with which detection.
+
+    Mirrors the reference's two triggers (sam3_video_base.py:664-735):
+    periodic (every ``recondition_every`` frames) and bbox-IoU mismatch
+    (track box vs matched detection box IoU < ``bbox_iou_thresh`` with
+    det score >= ``det_score_thresh``), restricted to the per-track
+    max-IoU high-confidence detections (``trk_id_to_max_iou_high_conf_det``,
+    sam3_video_base.py:1276-1289; ambiguity between several qualifying
+    detections of one track resolves by max IoU instead of dict-insertion
+    order) and to tracks whose running score clears ``obj_score_thresh``
+    (``_recondition_masklets``'s HIGH_CONF gate, :484-489).
+
+    Returns ``(recondition (K,) bool, det_for_slot (K,) int32)``. Apply with
+    :func:`apply_reconditioning`.
+    """
+    from .ops.boxes import fast_diag_box_iou
+    from .ops.masks import masks_to_boxes
+
+    n, k = iou.shape
+    qualify_det = (det_scores >= high_conf_thresh) & ~new_det  # (N,)
+    det_max_trk = jnp.argmax(iou, axis=1)                     # (N,)
+    det_high_iou = jnp.max(iou, axis=1) >= high_iou_thresh
+    eligible = qualify_det & det_high_iou                      # (N,)
+
+    # per-slot best eligible detection by IoU
+    elig_iou = jnp.where(
+        eligible[:, None]
+        & (det_max_trk[:, None] == jnp.arange(k)[None, :]),
+        iou,
+        -1.0,
+    )                                                          # (N, K)
+    det_for_slot = jnp.argmax(elig_iou, axis=0).astype(jnp.int32)  # (K,)
+    has_det = jnp.max(elig_iou, axis=0) >= 0.0                 # (K,)
+
+    # bbox mismatch trigger
+    trk_boxes = masks_to_boxes(state.masks > 0)                # (K, 4) pixels
+    hm, wm = state.masks.shape[-2:]
+    scale = jnp.array([wm, hm, wm, hm], jnp.float32)
+    trk_boxes_n = trk_boxes / scale
+    det_boxes = masks_to_boxes(det_masks > 0) / scale          # (N, 4)
+    pair_iou = fast_diag_box_iou(
+        det_boxes[det_for_slot], trk_boxes_n
+    )                                                          # (K,)
+    nonempty = (state.masks > 0).any(axis=(-2, -1))
+    iou_trigger = (
+        (bbox_iou_thresh > 0)
+        & (pair_iou < bbox_iou_thresh)
+        & (det_scores[det_for_slot] >= det_score_thresh)
+        & nonempty
+    )
+    periodic = (
+        (recondition_every > 0)
+        & (state.frame_idx % jnp.maximum(recondition_every, 1) == 0)
+    )
+    recondition = (
+        state.alive
+        & has_det
+        & (state.scores > obj_score_thresh)
+        & (iou_trigger | periodic)
+    )
+    return recondition, det_for_slot
+
+
+def apply_reconditioning(
+    state: TrackState,
+    det_masks: jnp.ndarray,
+    recondition: jnp.ndarray,
+    det_for_slot: jnp.ndarray,
+) -> TrackState:
+    """Adopt the detection mask as the slot's new conditioning mask and reset
+    its memory bank, so the next memory update writes a fresh cond frame —
+    the slot-native ``add_new_mask`` + ``propagate_in_video_preflight``
+    (sam3_video_base.py:453-504)."""
+    masks = jnp.where(
+        recondition[:, None, None], det_masks[det_for_slot], state.masks
+    )
+    maskmem_age = jnp.where(
+        recondition[:, None], -1, state.maskmem_age
+    )
+    obj_ptr_age = jnp.where(
+        recondition[:, None], -1, state.obj_ptr_age
+    )
+    return state._replace(
+        masks=masks, maskmem_age=maskmem_age, obj_ptr_age=obj_ptr_age
     )
 
 
@@ -302,6 +525,12 @@ class VideoGrounder:
         max_obj_ptrs: int = 16,
         tracker_params=None,          # {"params": ...} subtree for TrackerCore
         propagate: bool = False,      # run memory propagation each frame
+        # heuristics tail (reference defaults, sam3_video_base.py:36-137)
+        fill_hole_area: int = 16,
+        occlusion_suppression_iou: float = 0.0,   # 0 disables
+        recondition_every: int = -1,              # -1 disables periodic
+        recondition_bbox_iou: float = 0.0,        # 0 disables iou-mismatch
+        recondition_det_score: float = 0.0,
     ):
         from .models.layers import Spec
         from .models.tracker import TrackerCore
@@ -343,8 +572,41 @@ class VideoGrounder:
             num_slots, (mr, mr), num_maskmem, max_obj_ptrs,
             self.mem_dim, cfg.d_model, self.feat_hw,
         )
+        self.fill_hole_area = fill_hole_area
+        self.occlusion_suppression_iou = occlusion_suppression_iou
+        self.recondition_every = recondition_every
+        self.recondition_bbox_iou = recondition_bbox_iou
+        self.recondition_det_score = recondition_det_score
+
         self._assoc = jax.jit(associate_and_update)
         self._nms = jax.jit(lambda m, s: nms_masks(m, s, self.nms_iou))
+        self._fill_holes = jax.jit(
+            lambda m: fill_holes_in_mask_scores(m, self.fill_hole_area)
+        )
+        self._suppress = jax.jit(
+            lambda st: suppress_by_recent_occlusion(
+                st, self.occlusion_suppression_iou
+            )
+        )
+        def _recond(prev_st, st, dm, ds, nd, iou):
+            # plan on the PRE-association state (the reference plans against
+            # the previous frame's tracks, sam3_video_base.py:664-735), apply
+            # to the post-association state, never to retired slots
+            rec, det_for_slot = plan_reconditioning(
+                prev_st, dm, ds, nd, iou,
+                recondition_every=self.recondition_every,
+                bbox_iou_thresh=self.recondition_bbox_iou,
+                det_score_thresh=self.recondition_det_score,
+            )
+            return apply_reconditioning(st, dm, rec & st.alive, det_for_slot)
+
+        self._recondition = jax.jit(_recond)
+        self._assoc_raw = jax.jit(
+            lambda dm, ds, dv, tm, tv: associate_det_trk(
+                dm, tm, det_valid=dv, trk_valid=tv, det_scores=ds,
+                new_det_thresh=self.prob_threshold,
+            )
+        )
         if propagate:
             prop, upd = make_tracker_fns(self.core, num_maskmem, max_obj_ptrs)
             self._propagate = jax.jit(prop)
@@ -383,10 +645,25 @@ class VideoGrounder:
                 masks=jnp.where(alive[:, None, None], pm, self.state.masks),
             )
 
+        prev_state = self.state
         self.state = self._assoc(
             self.state, masks, scores, jnp.asarray(keep),
             new_det_thresh=self.prob_threshold,
         )
+
+        # heuristics tail (sam3_video_base.py:505-935): reconditioning against
+        # the previous frame's tracks, then occlusion-based overlap
+        # suppression before the memory encoder sees the masks
+        if self.recondition_every > 0 or self.recondition_bbox_iou > 0:
+            out = self._assoc_raw(
+                masks, scores, jnp.asarray(keep),
+                prev_state.masks, prev_state.alive,
+            )
+            self.state = self._recondition(
+                prev_state, self.state, masks, scores, out.new_det, out.iou
+            )
+        if self.occlusion_suppression_iou > 0:
+            self.state = self._suppress(self.state)
 
         if self.propagate:
             feats = self.proc._state["feats"]
@@ -411,10 +688,22 @@ class VideoGrounder:
             )
 
         alive = np.asarray(self.state.alive)
+        out_masks = self.state.masks
+        if self.fill_hole_area > 0:
+            # output-only hole filling of THIS frame's newly spawned objects
+            # (the reference fills new-detection masks in build_outputs,
+            # sam3_video_base.py:969-975 — association/memory see raw logits)
+            spawned = self.state.alive & (self.state.hotstart == 0)
+            if bool(np.asarray(spawned).any()):
+                out_masks = jnp.where(
+                    spawned[:, None, None],
+                    self._fill_holes(out_masks),
+                    out_masks,
+                )
         return {
             "obj_ids": np.asarray(self.state.obj_ids)[alive],
             "scores": np.asarray(self.state.scores)[alive],
-            "masks_lowres": np.asarray(self.state.masks)[alive] > 0,
+            "masks_lowres": np.asarray(out_masks)[alive] > 0,
         }
 
 
