@@ -5,6 +5,12 @@ adapters through the real jitted train step (forward + on-device Hungarian
 matching + losses + masked AdamW) on synthetic device-resident data, and
 reports images/sec/chip.
 
+BENCH_DATA=real additionally drives the REAL input pipeline: a generated
+1008^2 JPEG crack dataset on disk (polygon masks), decoded + rasterized by
+the threaded DataLoader, so the number includes JPEG decode, mask
+rasterization, static-shape collation and host->device transfer (SURVEY
+hard-part #4). data_time is reported alongside.
+
 Baseline: the reference's observed full-config training on an RTX 3090 is
 98 steps x bs 8 in ~7.5 min = 1.74 img/s (README.md:242-249). BASELINE.json's
 north star is >=2x *A100* img/s/chip; no A100 number is published for this
@@ -43,7 +49,16 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "10"))
     n_chips = max(1, len(jax.devices()))
 
-    cfg = ModelConfig(
+    if os.environ.get("BENCH_TINY") == "1":
+        # CPU smoke mode: validates the bench harness itself (incl. the real
+        # data pipeline loop) without the 848M model / TPU
+        from sam3_lora_tpu.config import tiny_model_config
+
+        cfg = tiny_model_config()
+        run_tiny = True
+    else:
+        run_tiny = False
+    cfg = cfg if run_tiny else ModelConfig(
         dtype="bfloat16",
         # Frozen-base storage dtype. Compute is bf16 either way, so bf16
         # storage is numerically identical in the compute path (the fp32->bf16
@@ -93,14 +108,56 @@ def main():
     trainable, opt_state, losses = step(trainable, frozen, opt_state, batch, key)
     float(np.asarray(losses["core_loss"]))
 
-    t0 = time.time()
-    for i in range(steps):
-        key, sub = jax.random.split(key)
-        trainable, opt_state, losses = step(trainable, frozen, opt_state, batch, sub)
-    float(np.asarray(losses["core_loss"]))
-    dt = time.time() - t0
+    extra = {}
+    if os.environ.get("BENCH_DATA", "synthetic") == "real":
+        # drive the REAL input pipeline: 1008^2 JPEGs + polygon masks on disk,
+        # threaded decode/rasterize/collate overlapping device compute
+        import tempfile
 
-    img_per_s_per_chip = batch_size * steps / dt / n_chips
+        from sam3_lora_tpu.train.data import (
+            COCOSegmentDataset,
+            DataLoader,
+            make_synthetic_coco,
+        )
+
+        workers = int(os.environ.get("BENCH_WORKERS", "8"))
+        n_imgs = batch_size * (steps + 2)
+        root = os.environ.get("BENCH_DATA_DIR") or tempfile.mkdtemp(prefix="benchds_")
+        if not os.path.exists(os.path.join(root, "train", "_annotations.coco.json")):
+            make_synthetic_coco(root, "train", num_images=n_imgs, img_size=cfg.img_size)
+        ds = COCOSegmentDataset(root, "train", model_config=cfg)
+        loader = DataLoader(
+            ds, batch_size, shuffle=False, num_workers=workers,
+            prefetch=3, drop_last=True,
+        )
+        it = iter(loader.epoch(0))
+        first = next(it)  # spin up the decode pool outside the timed region
+        t0 = time.time()
+        t_data = 0.0
+        n_steps = 0
+        b = first
+        while True:
+            key, sub = jax.random.split(key)
+            trainable, opt_state, losses = step(trainable, frozen, opt_state, b, sub)
+            n_steps += 1
+            if n_steps >= steps:
+                break
+            td = time.time()
+            b = next(it)
+            t_data += time.time() - td
+        float(np.asarray(losses["core_loss"]))
+        dt = time.time() - t0
+        img_per_s_per_chip = batch_size * n_steps / dt / n_chips
+        extra = {"data_time_s": round(t_data, 3), "pipeline": "real"}
+    else:
+        t0 = time.time()
+        for i in range(steps):
+            key, sub = jax.random.split(key)
+            trainable, opt_state, losses = step(trainable, frozen, opt_state, batch, sub)
+        float(np.asarray(losses["core_loss"]))
+        dt = time.time() - t0
+        img_per_s_per_chip = batch_size * steps / dt / n_chips
+
     print(
         json.dumps(
             {
@@ -108,6 +165,7 @@ def main():
                 "value": round(img_per_s_per_chip, 3),
                 "unit": "img/s/chip",
                 "vs_baseline": round(img_per_s_per_chip / BASELINE_IMG_PER_S, 3),
+                **extra,
             }
         )
     )

@@ -100,6 +100,12 @@ class ModelConfig:
     # --- Geometry encoder (model_builder.py:232-285) ---
     geo_layers: int = 3
     geo_roi_size: int = 7
+    # mask-prompt path (FusedMaskEncoder, geometry_encoders.py:436-478).
+    # OFF by default: the released facebook/sam3 image model builds its
+    # SequenceGeometryEncoder with mask_encoder=None (model_builder.py:269-
+    # 284), so no release checkpoint tensors exist for this path.
+    geo_mask_prompts: bool = False
+    geo_mask_fuser_layers: int = 2
 
     # --- Segmentation head (model_builder.py:204-229) ---
     seg_upsampling_stages: int = 3

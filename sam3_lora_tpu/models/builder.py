@@ -52,11 +52,21 @@ def dummy_batch(
         )
     token_ids = jnp.zeros((batch_size, cfg.text_context_length), jnp.int32)
     token_ids = token_ids.at[:, 0].set(49406).at[:, 1].set(49407)
+    geo = GeoPrompt.empty(batch_size, cfg.max_prompt_boxes)
+    if cfg.geo_mask_prompts:
+        # include a (padded) mask prompt so the FusedMaskEncoder params
+        # materialize at init (apply-time prompts would otherwise hit
+        # ScopeParamNotFoundError)
+        geo = geo.replace(
+            mask_embeddings=jnp.zeros((batch_size, 1, r, r), jnp.float32),
+            mask_mask=jnp.ones((batch_size, 1), jnp.bool_),
+            mask_labels=jnp.ones((batch_size, 1), jnp.int32),
+        )
     return Batch(
         images=jnp.zeros((n_img, 3, r, r), jnp.float32),
         token_ids=token_ids,
         img_ids=jnp.arange(batch_size, dtype=jnp.int32) % n_img,
-        geo=GeoPrompt.empty(batch_size, cfg.max_prompt_boxes),
+        geo=geo,
         targets=targets,
     )
 

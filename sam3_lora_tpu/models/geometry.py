@@ -49,6 +49,12 @@ class GeoPrompt:
     points: Optional[jnp.ndarray] = None
     points_mask: Optional[jnp.ndarray] = None
     points_labels: Optional[jnp.ndarray] = None
+    # mask prompt (one per query, reference Prompt.mask_embeddings,
+    # geometry_encoders.py:376-396): (B, 1, Hm, Wm) float mask scores,
+    # (B, 1) True=pad, (B, 1) int labels
+    mask_embeddings: Optional[jnp.ndarray] = None
+    mask_mask: Optional[jnp.ndarray] = None
+    mask_labels: Optional[jnp.ndarray] = None
 
     @staticmethod
     def empty(
@@ -192,4 +198,31 @@ class GeometryEncoder(nn.Module):
                 name=f"encode.{i}",
             )(seq, img_feats, None, img_pos, mask, None, train)
         seq = LayerNorm(name="encode_norm")(seq)
+
+        # --- mask prompt (FusedMaskEncoder, geometry_encoders.py:436-478):
+        # downsample the prompt mask to the feature grid, fuse with the
+        # (pre-normed) image features, add the sine PE, and append the H*W
+        # tokens AFTER the transformer (reference forward :846-849 concats
+        # mask embeddings last, skipping the encode layers). Gated off by
+        # default — the release model has mask_encoder=None.
+        if cfg.geo_mask_prompts and prompt.mask_embeddings is not None:
+            from .tracker import SimpleMaskEncoder
+
+            enc = SimpleMaskEncoder(
+                sp, out_dim=d, in_dim=d,
+                num_fuser_layers=cfg.geo_mask_fuser_layers,
+                name="mask_encoder",
+            )(
+                feats_grid.astype(sp.dtype),
+                prompt.mask_embeddings.astype(jnp.float32),
+                skip_mask_sigmoid=True,  # removed option, handled outside
+            )
+            mtok = enc["vision_features"] + enc["vision_pos_enc"]
+            mtok = mtok.reshape(b, d, -1).transpose(0, 2, 1)  # (B, H*W, D)
+            mpad = jnp.broadcast_to(
+                prompt.mask_mask, (b, mtok.shape[1])
+            )  # attn_mask.repeat_interleave(H*W) with n_masks=1
+            mtok = jnp.where(mpad[..., None], 0.0, mtok.astype(seq.dtype))
+            seq = jnp.concatenate([seq, mtok], axis=1)
+            mask = jnp.concatenate([mask, mpad], axis=1)
         return seq, mask

@@ -122,29 +122,24 @@ def flash_attention(
     b, h, lq, _ = q.shape
     lk = k.shape[2]
 
-    # The kernel requires block_k % 128 == 0 but block_q only needs sublane
-    # alignment, so the two sequence axes pad differently:
-    #  * K/V pad to a 512 multiple (5184 -> 5632; 5184 = 2^6*81 has no
-    #    128-multiple divisor) and the padding is masked with segment ids.
-    #  * Q stays UNPADDED when it has a large non-128-multiple divisor to use
-    #    as block_q (5184 = 2*2592): measured on v5e, q2592/k512 on unpadded
-    #    queries beats the both-sides-padded q1408/k512 path by ~12% fwd —
-    #    the padded-query grid rows and their mask work disappear.
+    # kernel wants seq lens divisible by 128-multiple blocks; SAM3's 5184
+    # (= 2^6 * 81) has no such divisor — pad and mask the padding with
+    # segment ids (real tokens = 0, padding = 1/2). Pad long sequences to a
+    # 512 multiple so 512-wide blocks apply (5184 -> 5248 = 41*128 would
+    # force 128-blocks since 41 is prime — a 4x grid-overhead tax; 5632
+    # = 11*512 costs 8.6% padding and runs with full-size blocks).
+    #
+    # MEASURED DEAD END (r2, do not retry): leaving the query axis UNPADDED
+    # with a non-128-multiple block_q (5184 = 3*1728; block_k must stay %128
+    # so K/V still pad). Standalone fwd it wins ~12% (q2592: 19.9 vs 22.7 ms),
+    # but q2592 blows the 16 MB scoped-VMEM stack inside the full train step
+    # (needs 23.3 MB) and q1728 regresses the full-step bench 1.904 -> 1.544
+    # img/s/chip — the dq/dkv passes handle non-aligned q blocks poorly.
     def pad_to(n):
         m = 512 if n > 1024 else 128
         return -(-n // m) * m
 
-    def q_block_divisor(n):
-        """Largest divisor of n in [512, 2592] that is a multiple of 8."""
-        best = None
-        for d in range(512, min(n, 2592) + 1):
-            if n % d == 0 and d % 8 == 0:
-                best = d
-        return best
-
-    qdiv = q_block_divisor(lq)
-    lq_p = lq if qdiv is not None else pad_to(lq)
-    lk_p = pad_to(lk)
+    lq_p, lk_p = pad_to(lq), pad_to(lk)
     need_segments = (lq_p != lq) or (lk_p != lk) or key_padding_mask is not None
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, lq_p - lq), (0, 0)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, lk_p - lk), (0, 0)))
@@ -172,7 +167,7 @@ def flash_attention(
     # Measured on v5e (5632-seq, bs8): block_q 1408 / block_k 512 beats
     # 512/512 by ~8% fwd and ~12% bwd; 1408-wide K blocks fail to compile in
     # the dkv pass, so K stays at 512.
-    block_q = qdiv if qdiv is not None else _pick_block(lq_p, target=2048)
+    block_q = _pick_block(lq_p, target=2048)
     block_k = _pick_block(lk_p, target=512)
     sizes = BlockSizes(
         block_q=block_q,

@@ -27,7 +27,10 @@ def _interleave_sin_cos(x: jnp.ndarray) -> jnp.ndarray:
     reference's interleaving (position_encoding.py:63-68)."""
     s = jnp.sin(x[..., 0::2])
     c = jnp.cos(x[..., 1::2])
-    return jnp.stack([s, c], axis=-1).reshape(*x.shape[:-1], -1)
+    # explicit final dim: a -1 reshape is ambiguous for zero-size inputs
+    # (e.g. encoding an empty prompt-slot axis)
+    out_dim = s.shape[-1] + c.shape[-1]
+    return jnp.stack([s, c], axis=-1).reshape(*x.shape[:-1], out_dim)
 
 
 def sine_pos_grid(

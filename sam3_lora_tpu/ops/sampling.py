@@ -7,11 +7,14 @@ TPU-native replacements for the torch ops used by the geometry encoder:
 Both are implemented as vectorized gathers + lerps so XLA lowers them to
 dynamic-gather fusions; shapes are fully static.
 
-ROI-align parity note: torchvision with ``sampling_ratio=-1`` picks
-ceil(roi_size / output_size) samples per bin — a data-dependent count. We use
-a fixed ``sampling_ratio`` (default 2, torchvision's effective value for small
-ROIs); this changes values by <1e-3 for ROIs up to ~2x the bin grid and keeps
-the op jit-compatible.
+ROI-align matches torchvision exactly (aligned=False, sampling_ratio=-1
+defaults, the ones the reference's geometry encoder uses): the adaptive
+ceil(bin)-samples-per-bin rule is expressed with a static upper bound
+``max_samples`` and a mask over the unused sample slots, so the per-ROI
+sample count is a traced scalar and the op stays jit-compatible. Border
+handling follows torchvision's roi_align bilinear (clamp into the image,
+zero only beyond 1px outside) — different from grid_sample's per-tap
+zero padding.
 """
 
 from __future__ import annotations
@@ -68,41 +71,94 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(one)(img, grid)
 
 
+def _roi_bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """torchvision roi_align's bilinear taps (roi_align_kernel bilinear_
+    interpolate): zero only when >1px outside the image; otherwise clamp the
+    coordinate into [0, size-1] and lerp. NOT the same as grid_sample's
+    per-tap zero padding."""
+    c, h, w = img.shape
+    invalid = (x < -1.0) | (x > w) | (y < -1.0) | (y > h)
+    x = jnp.clip(x, 0.0, None)
+    y = jnp.clip(y, 0.0, None)
+    x_low = jnp.minimum(jnp.floor(x), w - 1)
+    y_low = jnp.minimum(jnp.floor(y), h - 1)
+    x_eff = jnp.where(x >= w - 1, x_low, x)
+    y_eff = jnp.where(y >= h - 1, y_low, y)
+    x_high = jnp.minimum(x_low + 1, w - 1)
+    y_high = jnp.minimum(y_low + 1, h - 1)
+    lx = x_eff - x_low
+    ly = y_eff - y_low
+    hx = 1.0 - lx
+    hy = 1.0 - ly
+
+    def tap(xi, yi):
+        return img[:, yi.astype(jnp.int32), xi.astype(jnp.int32)]  # (C, ...)
+
+    out = (
+        tap(x_low, y_low) * (hx * hy)[None]
+        + tap(x_high, y_low) * (lx * hy)[None]
+        + tap(x_low, y_high) * (hx * ly)[None]
+        + tap(x_high, y_high) * (lx * ly)[None]
+    )
+    return jnp.where(invalid[None], 0.0, out)
+
+
 def roi_align(
     img: jnp.ndarray,
     boxes: jnp.ndarray,
     output_size: int,
-    sampling_ratio: int = 2,
-    aligned: bool = True,
+    sampling_ratio: int = -1,
+    aligned: bool = False,
+    max_samples: int = 16,
 ) -> jnp.ndarray:
-    """ROI-align over per-image boxes.
+    """torchvision.ops.roi_align, exactly (defaults = torchvision defaults,
+    which the reference geometry encoder uses: geometry_encoders.py:666-668).
 
     img: (N, C, H, W); boxes: (N, R, 4) xyxy in feature-pixel coords.
     Returns (N, R, C, output_size, output_size).
+
+    sampling_ratio=-1 -> per-ROI adaptive ceil(bin) samples per bin, realized
+    with ``max_samples`` static slots + masking (raise it if ROIs can exceed
+    ``max_samples * output_size`` feature pixels on a side).
     """
     import jax
 
     p = output_size
-    s = sampling_ratio
+    smax = sampling_ratio if sampling_ratio > 0 else max_samples
     offset = 0.5 if aligned else 0.0
 
-    # sample offsets within a bin: (i + (t + 0.5)/S) / P of the roi extent
-    t = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s      # (S,)
-    i = jnp.arange(p, dtype=jnp.float32)                  # (P,)
-    frac = (i[:, None] + t[None, :]).reshape(-1) / p      # (P*S,) in (0, 1)
+    i = jnp.arange(p, dtype=jnp.float32)                   # (P,)
+    t = jnp.arange(smax, dtype=jnp.float32)                # (S,)
 
     def one_box(img_i, box):
-        x0, y0, x1, y1 = box[0], box[1], box[2], box[3]
-        rw = x1 - x0
-        rh = y1 - y0
-        xs = x0 + frac * rw - offset                      # (P*S,)
-        ys = y0 + frac * rh - offset
-        xx = jnp.broadcast_to(xs[None, :], (p * s, p * s))
-        yy = jnp.broadcast_to(ys[:, None], (p * s, p * s))
-        vals = _bilinear_gather(img_i, xx, yy)            # (C, P*S, P*S)
+        x0 = box[0] - offset
+        y0 = box[1] - offset
+        rw = box[2] - box[0]
+        rh = box[3] - box[1]
+        if not aligned:  # torchvision forces >=1px rois when not aligned
+            rw = jnp.maximum(rw, 1.0)
+            rh = jnp.maximum(rh, 1.0)
+        bin_w = rw / p
+        bin_h = rh / p
+        if sampling_ratio > 0:
+            kw = kh = jnp.float32(sampling_ratio)
+        else:
+            kw = jnp.clip(jnp.ceil(bin_w), 1.0, smax)
+            kh = jnp.clip(jnp.ceil(bin_h), 1.0, smax)
+        # sample grids (P, S): x0 + bin*(i) + bin*(t+0.5)/k, slots t>=k masked
+        xs = x0 + bin_w * (i[:, None] + (t[None, :] + 0.5) / kw)
+        ys = y0 + bin_h * (i[:, None] + (t[None, :] + 0.5) / kh)
+        mx = (t[None, :] < kw).astype(jnp.float32)          # (1, S)
+        my = (t[None, :] < kh).astype(jnp.float32)
+        xx = xs.reshape(-1)[None, :].repeat(p * smax, 0)    # (PS, PS)
+        yy = ys.reshape(-1)[:, None].repeat(p * smax, 1)
+        vals = _roi_bilinear(img_i, xx, yy)                 # (C, PS, PS)
         c = vals.shape[0]
-        vals = vals.reshape(c, p, s, p, s).mean(axis=(2, 4))
-        return vals                                       # (C, P, P)
+        mxf = jnp.broadcast_to(mx, (p, smax)).reshape(-1)   # (PS,)
+        myf = jnp.broadcast_to(my, (p, smax)).reshape(-1)
+        wgt = myf[:, None] * mxf[None, :]                   # (PS, PS)
+        vals = (vals * wgt[None]).reshape(c, p, smax, p, smax).sum(axis=(2, 4))
+        return vals / (kw * kh)                             # (C, P, P)
 
     def one_image(img_i, boxes_i):
         return jax.vmap(lambda b: one_box(img_i, b))(boxes_i)

@@ -102,9 +102,12 @@ class Sam3Processor:
         boxes: Optional[np.ndarray] = None,
         box_labels: Optional[Sequence[int]] = None,
         threshold: Optional[float] = None,
+        mask_prompt: Optional[np.ndarray] = None,
     ) -> Dict[str, Any]:
-        """Ground one text prompt (+ optional geometric boxes) against the
-        cached image. Boxes are normalized cxcywh in [0, 1]."""
+        """Ground one text prompt (+ optional geometric boxes / one mask
+        prompt) against the cached image. Boxes are normalized cxcywh in
+        [0, 1]; ``mask_prompt`` is an (H, W) binary/float mask at any
+        resolution (requires ``ModelConfig.geo_mask_prompts``)."""
         if self._state is None:
             raise RuntimeError("call set_image() first")
         thr = self.threshold if threshold is None else threshold
@@ -133,6 +136,17 @@ class Sam3Processor:
                 labels=jnp.asarray(
                     np.pad(labels, (0, cfg.max_prompt_boxes - n), constant_values=1)
                 )[None],
+            )
+        if mask_prompt is not None:
+            if not cfg.geo_mask_prompts:
+                raise ValueError(
+                    "mask prompts need ModelConfig(geo_mask_prompts=True)"
+                )
+            m = np.asarray(mask_prompt, np.float32)
+            geo = geo.replace(
+                mask_embeddings=jnp.asarray(m)[None, None],
+                mask_mask=jnp.zeros((1, 1), bool),
+                mask_labels=jnp.ones((1, 1), jnp.int32),
             )
         scores, presence, boxes_out, masks = self._ground(
             self.params,

@@ -122,3 +122,67 @@ class TestWeakNegativeMasking:
         # all supervision on this image is negative; non-exhaustive masks it
         assert self._loss(False) < 1e-6
         assert self._loss(False) < self._loss(True)
+
+
+class TestMaskPromptPath:
+    """FusedMaskEncoder mask-prompt path (geometry_encoders.py:436-478),
+    gated behind geo_mask_prompts (the release model ships mask_encoder=None,
+    model_builder.py:269-284)."""
+
+    def test_geometry_encoder_appends_mask_tokens(self):
+        import dataclasses
+
+        import jax
+        from sam3_lora_tpu.models.geometry import GeoPrompt, GeometryEncoder
+        from sam3_lora_tpu.models.layers import Spec
+        from tests.test_trainer import tiny_model_config
+
+        cfg = dataclasses.replace(tiny_model_config(), geo_mask_prompts=True)
+        sp = Spec(model=cfg, lora=None)
+        ge = GeometryEncoder(sp)
+        h = w = cfg.img_size // cfg.patch_size
+        d = cfg.d_model
+        feats = jnp.asarray(np.random.RandomState(0).randn(1, h * w, d), jnp.float32)
+        base = GeoPrompt.empty(1, 2)
+        gp = base.replace(
+            mask_embeddings=jnp.asarray(
+                (np.random.RandomState(1).rand(1, 1, 64, 64) > 0.5).astype(np.float32)
+            ),
+            mask_mask=jnp.zeros((1, 1), bool),
+            mask_labels=jnp.ones((1, 1), jnp.int32),
+        )
+        params = ge.init(jax.random.PRNGKey(0), gp, feats, jnp.zeros_like(feats), (h, w))
+        seq, mask = ge.apply(params, gp, feats, jnp.zeros_like(feats), (h, w))
+        # [2 box slots | CLS | h*w mask tokens]
+        assert seq.shape == (1, 2 + 1 + h * w, d)
+        assert mask.shape == (1, 2 + 1 + h * w)
+        assert not np.asarray(mask)[0, 3:].any()  # mask tokens valid
+        assert np.all(np.isfinite(np.asarray(seq)))
+        # without the mask prompt: no extra tokens, params unchanged subset
+        seq0, mask0 = ge.apply(params, base, feats, jnp.zeros_like(feats), (h, w))
+        assert seq0.shape == (1, 3, d)
+
+    def test_processor_mask_prompt_wiring(self):
+        import dataclasses
+
+        from sam3_lora_tpu.processor import Sam3Processor
+        from tests.test_trainer import tiny_model_config
+
+        cfg = dataclasses.replace(
+            tiny_model_config(), dtype="float32", geo_mask_prompts=True
+        )
+        proc = Sam3Processor(model_cfg=cfg, threshold=0.0)
+        img = (np.random.RandomState(0).rand(64, 64, 3) * 255).astype(np.uint8)
+        proc.set_image(img)
+        m = np.zeros((64, 64), np.float32)
+        m[20:40, 20:40] = 1.0
+        res = proc.set_text_prompt("object", mask_prompt=m, threshold=0.0)
+        assert np.all(np.isfinite(res["scores"]))
+        # guard: mask prompts rejected when the path is off
+        proc_off = Sam3Processor(
+            model_cfg=dataclasses.replace(tiny_model_config(), dtype="float32"),
+            threshold=0.0,
+        )
+        proc_off.set_image(img)
+        with pytest.raises(ValueError):
+            proc_off.set_text_prompt("object", mask_prompt=m)

@@ -226,15 +226,22 @@ class TestSampling:
         np.testing.assert_allclose(got, want, atol=1e-5)
 
     def test_roi_align_linear_field(self):
-        # bilinear sampling of a linear field is exact -> ROI mean per bin
+        # bilinear sampling of a linear field is exact -> ROI mean per bin.
+        # torchvision default semantics (aligned=False): no half-pixel shift.
         h, w = 16, 16
         yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
         img = np.stack([xx, yy])[None]  # (1, 2, H, W)
         boxes = jnp.array([[[2.0, 3.0, 9.0, 13.0]]])
         out = np.array(S.roi_align(jnp.array(img), boxes, output_size=7))
-        # x-channel bin centers: x0 + (i+0.5)/7*(x1-x0) - 0.5
-        centers = 2.0 + (np.arange(7) + 0.5) / 7 * 7.0 - 0.5
+        centers = 2.0 + (np.arange(7) + 0.5) / 7 * 7.0
         np.testing.assert_allclose(out[0, 0, 0, 3, :], centers, atol=1e-4)
+        # aligned=True keeps the old continuous half-pixel convention
+        out_a = np.array(
+            S.roi_align(jnp.array(img), boxes, output_size=7, aligned=True)
+        )
+        np.testing.assert_allclose(
+            out_a[0, 0, 0, 3, :], centers - 0.5, atol=1e-4
+        )
 
 
 class TestNMS:
