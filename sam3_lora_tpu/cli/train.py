@@ -28,9 +28,15 @@ def main(argv=None):
     from ..config import (
         LoRAConfig, ModelConfig, TrainConfig, load_yaml_config, tiny_model_config,
     )
+    from ..parallel import multihost
     from ..train.data import COCOSegmentDataset, DataLoader
     from ..train.trainer import Trainer
     from ..utils import setup_logging
+
+    # pod scale-out: join the multi-host runtime BEFORE any backend use
+    # (no-op single-host; reference analogue: submitit/torchrun process
+    # groups, sam3/train/train.py:45-339)
+    multihost.initialize()
 
     cfg = load_yaml_config(args.config)
     lcfg = LoRAConfig.from_dict(cfg.get("lora", {}))
@@ -69,7 +75,10 @@ def main(argv=None):
         log.warning("no valid split found; training without validation")
         val_loader = None
     train_loader = DataLoader(
-        train_ds, tcfg.batch_size, num_workers=tcfg.num_workers, seed=tcfg.seed
+        train_ds, tcfg.batch_size, num_workers=tcfg.num_workers, seed=tcfg.seed,
+        host_shard=(
+            multihost.host_shard() if multihost.process_count() > 1 else None
+        ),
     )
     result = trainer.fit(train_loader, val_loader)
     log.info("done: best_val=%.4f steps=%d", result["best_val_loss"], result["steps"])

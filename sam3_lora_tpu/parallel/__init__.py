@@ -6,6 +6,7 @@ from .mesh import (
     param_shardings,
 )
 from .frame_parallel import FrameParallelDetector
+from . import multihost
 from .dist_utils import (
     get_rank,
     get_world_size,
@@ -30,4 +31,5 @@ __all__ = [
     "filesystem_gather",
     "barrier",
     "FrameParallelDetector",
+    "multihost",
 ]

@@ -311,6 +311,7 @@ class DataLoader:
         drop_last: bool = True,
         tokenizer: Optional[SimpleTokenizer] = None,
         prefetch: int = 2,
+        host_shard=None,  # parallel.multihost.HostShard for pod-scale input
     ):
         self.ds = dataset
         self.bs = batch_size
@@ -320,19 +321,31 @@ class DataLoader:
         self.drop_last = drop_last
         self.tok = tokenizer or get_default_tokenizer()
         self.prefetch = prefetch
+        self.host_shard = host_shard
         self._epoch = 0
+
+    def _host_indices(self, epoch: int) -> np.ndarray:
+        """Epoch order, restricted to this host's shard AFTER the seeded
+        shuffle so every host draws disjoint samples from the same global
+        permutation (DistributedSampler semantics, ref train.py:233-247)."""
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            np.random.RandomState(self.seed + epoch).shuffle(order)
+        if self.host_shard is not None:
+            order = order[self.host_shard.indices(len(order))]
+        return order
 
     def __len__(self) -> int:
         n = len(self.ds)
+        if self.host_shard is not None:
+            n = len(self.host_shard.indices(n))
         return n // self.bs if self.drop_last else (n + self.bs - 1) // self.bs
 
     def epoch(self, epoch: Optional[int] = None) -> Iterator[Batch]:
         if epoch is None:
             epoch = self._epoch
             self._epoch += 1
-        order = np.arange(len(self.ds))
-        if self.shuffle:
-            np.random.RandomState(self.seed + epoch).shuffle(order)
+        order = self._host_indices(epoch)
         n_batches = len(self)
         batches_idx = [
             order[i * self.bs : (i + 1) * self.bs] for i in range(n_batches)

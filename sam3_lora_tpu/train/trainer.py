@@ -281,6 +281,12 @@ class Trainer:
 
     # ------------------------------------------------------------------ #
     def _write_stats(self, name: str, record: Dict[str, Any]):
+        # multi-host: only process 0 writes stats/checkpoints (reference
+        # rank==0 guards, trainer.py:362-398); single-host always writes
+        from ..parallel import multihost
+
+        if not multihost.is_primary():
+            return
         path = os.path.join(self.tcfg.output_dir, f"{name}.json")
         with open(path, "a") as f:
             f.write(json.dumps(record) + "\n")
@@ -429,7 +435,11 @@ class Trainer:
         converted base checkpoint, like the reference re-downloading from HF)."""
         import pickle
 
+        from ..parallel import multihost
+
         path = os.path.join(self.tcfg.output_dir, filename)
+        if not multihost.is_primary():
+            return path
         leaves, treedef = jax.tree_util.tree_flatten(self.state.opt_state)
         payload = {
             f"opt_{i}": np.asarray(x) for i, x in enumerate(leaves)
@@ -473,7 +483,11 @@ class Trainer:
         return meta
 
     def save_adapters(self, filename: str) -> str:
+        from ..parallel import multihost
+
         path = os.path.join(self.tcfg.output_dir, filename)
+        if not multihost.is_primary():
+            return path
         tmp = path + ".tmp.npz"  # np.savez appends .npz to foreign suffixes
         np.savez(
             tmp, **{".".join(k): np.asarray(v) for k, v in self.state.trainable.items()}
