@@ -26,6 +26,7 @@ from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ..config import LoRAConfig, ModelConfig
@@ -81,6 +82,12 @@ class LoRALinear(nn.Module):
     kernel_init: Callable = torch_linear_kernel_init
     bias_init: Callable = nn.initializers.zeros_init()
     lora_eligible: bool = True  # set False to exempt (e.g. packed qkv of MHA)
+    # Static output-channel permutation folded into the weight columns (and
+    # bias / lora_b) at apply time: y[..., j] = (x @ W + b)[..., perm[j]].
+    # Weight-sized gather, ~free; used to put ViT q/k channels into RoPE
+    # rotate-half layout (ops/rope.py::rope_half_perm) without touching the
+    # reference checkpoint layout. Params are stored UNpermuted.
+    out_perm: Optional[Tuple[int, ...]] = None
 
     def lora_rank(self) -> int:
         lcfg = self.spec.lora
@@ -97,6 +104,13 @@ class LoRALinear(nn.Module):
         )
         dtype = self.spec.dtype
         mcfg = self.spec.model
+        perm = (
+            jnp.asarray(np.asarray(self.out_perm, np.int32))
+            if self.out_perm is not None
+            else None
+        )
+        if perm is not None:
+            kernel = jnp.take(kernel, perm, axis=1)
         if (
             mcfg.base_quant != "none"
             and min(in_features, self.features) >= mcfg.base_quant_min_dim
@@ -113,6 +127,8 @@ class LoRALinear(nn.Module):
             y = jnp.dot(x.astype(dtype), kernel.astype(dtype))
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,), self.spec.param_dtype)
+            if perm is not None:
+                bias = jnp.take(bias, perm, axis=0)
             y = y + bias.astype(dtype)
 
         rank = self.lora_rank()
@@ -124,6 +140,8 @@ class LoRALinear(nn.Module):
             lora_b = self.param(
                 "lora_b", nn.initializers.zeros_init(), (rank, self.features), jnp.float32
             )
+            if perm is not None:
+                lora_b = jnp.take(lora_b, perm, axis=1)
             xin = x
             if lcfg.dropout > 0.0 and train:
                 keep = 1.0 - lcfg.dropout

@@ -33,7 +33,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops.attention import dot_product_attention, merge_heads, split_heads
-from ..ops.rope import apply_rope, compute_axial_freqs
+from ..ops.rope import apply_rope_half, compute_axial_freqs, rope_half_perm
 from ..ops.windows import window_partition, window_unpartition
 from .layers import LayerNorm, LoRALinear, Spec, lecun_trunc_normal
 
@@ -82,7 +82,26 @@ class Attention(nn.Module):
         heads = cfg.vit_heads
         head_dim = dim // heads
 
-        qkv = LoRALinear(dim * 3, self.spec, name="qkv")(
+        # RoPE rotate-half trick: interleaved stride-2 lane access costs ~28%
+        # of a block forward on TPU, so the q/k channel pairs (2i, 2i+1) are
+        # re-ordered to (i, i+D/2) by permuting the qkv projection's weight
+        # COLUMNS (attention scores are invariant to a shared q/k channel
+        # permutation; see ops/rope.py::rope_half_perm). Checkpoint layout is
+        # untouched — the permutation is applied at apply-time inside
+        # LoRALinear.
+        if cfg.vit_use_rope:
+            hp = rope_half_perm(head_dim)
+            per_head = np.concatenate(
+                [hp + h * head_dim for h in range(heads)]
+            )
+            col_perm = tuple(
+                np.concatenate(
+                    [per_head, dim + per_head, 2 * dim + np.arange(dim)]
+                ).tolist()
+            )
+        else:
+            col_perm = None
+        qkv = LoRALinear(dim * 3, self.spec, name="qkv", out_perm=col_perm)(
             x.reshape(b, l, dim), train=train
         )
         qkv = qkv.reshape(b, l, 3, heads, head_dim)
@@ -100,8 +119,8 @@ class Attention(nn.Module):
             )
             cos = jnp.asarray(np.cos(angles))
             sin = jnp.asarray(np.sin(angles))
-            q = apply_rope(q, cos, sin)
-            k = apply_rope(k, cos, sin)
+            q = apply_rope_half(q, cos, sin)
+            k = apply_rope_half(k, cos, sin)
 
         # 5184-token global blocks: fused flash attention (13 GB of fp32
         # logits at bs 8 otherwise). Windowed blocks: whole-window fused

@@ -58,6 +58,12 @@ def apply_rope(
     ``view_as_complex(x)`` by ``polar(1, angles)`` (vitdet.py:68-90).
     Computed in fp32 and cast back, matching the reference's ``.float()``
     upcast inside ``apply_rotary_enc``.
+
+    NOTE (TPU): the stride-2 lane access here breaks (8, 128) vector tiling
+    and measures ~28% of a ViT block forward. The hot path uses
+    :func:`apply_rope_half` on weight-permuted q/k instead (see
+    ``rope_half_perm``); this interleaved form is kept for parity oracles
+    and the tracker's memory attention.
     """
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
@@ -66,4 +72,37 @@ def apply_rope(
     out_even = x_even * cos - x_odd * sin
     out_odd = x_even * sin + x_odd * cos
     out = jnp.stack([out_even, out_odd], axis=-1).reshape(x.shape)
+    return out.astype(orig_dtype)
+
+
+def rope_half_perm(head_dim: int) -> np.ndarray:
+    """Channel permutation mapping interleaved RoPE pairs (2i, 2i+1) to
+    rotate-half layout (i, i + D/2): ``new[j] = old[perm[j]]`` with
+    ``perm = [0, 2, .., D-2, 1, 3, .., D-1]``.
+
+    Because attention scores are invariant under any permutation applied to
+    BOTH q and k channels (S = sum_d q_d k_d), this permutation can be folded
+    into the q/k projection **weight columns** once per step (weight-sized
+    gather, ~free) — after which the rotation itself touches only contiguous
+    half-slices instead of stride-2 lanes. Pair i's angle is unchanged, so
+    the cos/sin tables from ``compute_axial_freqs`` apply as-is.
+    """
+    return np.concatenate(
+        [np.arange(0, head_dim, 2), np.arange(1, head_dim, 2)]
+    )
+
+
+def apply_rope_half(
+    x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
+) -> jnp.ndarray:
+    """RoPE in rotate-half layout: x (..., L, D) whose channels are ordered
+    (all even pair-members | all odd pair-members) — see ``rope_half_perm``.
+    cos/sin: (L, D//2). Contiguous half-slices only; fp32 math as in
+    ``apply_rope``."""
+    orig_dtype = x.dtype
+    h = x.shape[-1] // 2
+    xf = x.astype(jnp.float32)
+    xe = xf[..., :h]
+    xo = xf[..., h:]
+    out = jnp.concatenate([xe * cos - xo * sin, xe * sin + xo * cos], axis=-1)
     return out.astype(orig_dtype)

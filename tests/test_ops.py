@@ -167,6 +167,41 @@ class TestRope:
         np.testing.assert_allclose(a[0, :2], a[3, :2])
         np.testing.assert_allclose(a[0, 2:], a[1, 2:])
 
+    def test_half_layout_scores_invariant(self):
+        """rotate-half on weight-permuted q/k must give the SAME attention
+        scores as interleaved rope on the original q/k (the ViT hot path,
+        models/vit.py): S = rope(q) rope(k)^T is invariant to the shared
+        channel permutation rope_half_perm."""
+        dim, ex, ey = 16, 3, 4
+        L = ex * ey
+        angles = RO.compute_axial_freqs(dim, ex, ey)
+        cos, sin = RO.rope_cos_sin(angles)
+        q = rng.randn(2, L, dim).astype(np.float32)
+        k = rng.randn(2, L, dim).astype(np.float32)
+        perm = RO.rope_half_perm(dim)
+        s_ref = np.einsum(
+            "bld,bmd->blm",
+            np.array(RO.apply_rope(jnp.array(q), cos, sin)),
+            np.array(RO.apply_rope(jnp.array(k), cos, sin)),
+        )
+        s_half = np.einsum(
+            "bld,bmd->blm",
+            np.array(RO.apply_rope_half(jnp.array(q[..., perm]), cos, sin)),
+            np.array(RO.apply_rope_half(jnp.array(k[..., perm]), cos, sin)),
+        )
+        np.testing.assert_allclose(s_half, s_ref, atol=1e-5)
+
+    def test_half_is_permuted_interleaved(self):
+        # elementwise: rope_half(x[perm]) == rope(x)[perm]
+        dim = 8
+        angles = RO.compute_axial_freqs(dim, end_x=2, end_y=2)
+        cos, sin = RO.rope_cos_sin(angles)
+        x = rng.randn(3, 4, dim).astype(np.float32)
+        perm = RO.rope_half_perm(dim)
+        want = np.array(RO.apply_rope(jnp.array(x), cos, sin))[..., perm]
+        got = np.array(RO.apply_rope_half(jnp.array(x[..., perm]), cos, sin))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
 
 class TestWindows:
     def test_roundtrip(self):
