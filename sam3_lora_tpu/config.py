@@ -66,6 +66,9 @@ class ModelConfig:
     # HBM (the 6x 5184-token attention activations), so it stays ON.
     enc_remat: bool = True
     dec_remat: bool = False
+    # decoder boxRPB cross-attn: chunked separable-bias path (never builds the
+    # dense (B,H,Q,HW) bias/logits; ops/rpb_attention.py). False = dense oracle.
+    dec_separable_bias: bool = True
 
     # --- FPN neck (model_builder.py:99-107, necks.py:13-99) ---
     d_model: int = 256

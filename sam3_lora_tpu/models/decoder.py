@@ -153,9 +153,14 @@ class DecoderLayer(nn.Module):
         )
 
         # ---- image cross-attention with boxRPB bias ----
+        # cross_attn_bias is either a dense (B, heads, 1+L, HW) tensor or the
+        # separable (dy, dx, grid_hw) triple (see ops/rpb_attention.py)
+        separable = isinstance(cross_attn_bias, tuple)
         ca = MultiHeadAttention(d, heads, sp, dropout=drop, name="cross_attn")(
             tgt + query_pos, memory + memory_pos, memory,
-            attn_bias=cross_attn_bias, train=train,
+            attn_bias=None if separable else cross_attn_bias,
+            separable_bias=cross_attn_bias if separable else None,
+            train=train,
         )
         tgt = LayerNorm(name="norm1")(
             tgt + Dropout(drop, name="dropout1")(ca, train=train)
@@ -247,11 +252,23 @@ class TransformerDecoder(nn.Module):
             bias = None
             if rpb is not None:
                 dy, dx = rpb(ref, feat_hw, train)
-                bias = rpb_dense_bias(dy, dx)  # (B, heads, L, HW)
-                if presence is not None:
-                    bias = jnp.concatenate(
-                        [jnp.zeros_like(bias[:, :, :1]), bias], axis=2
-                    )
+                if cfg.dec_separable_bias:
+                    # presence row attends with zero bias: prepend a zero
+                    # query row to the separable halves
+                    if presence is not None:
+                        dy = jnp.concatenate(
+                            [jnp.zeros_like(dy[:, :1]), dy], axis=1
+                        )
+                        dx = jnp.concatenate(
+                            [jnp.zeros_like(dx[:, :1]), dx], axis=1
+                        )
+                    bias = (dy, dx, feat_hw)
+                else:
+                    bias = rpb_dense_bias(dy, dx)  # (B, heads, L, HW)
+                    if presence is not None:
+                        bias = jnp.concatenate(
+                            [jnp.zeros_like(bias[:, :, :1]), bias], axis=2
+                        )
 
             tgt, presence = layer_cls(sp, name=f"layers.{i}")(
                 tgt, query_pos, memory, memory_pos, memory_text, text_mask,

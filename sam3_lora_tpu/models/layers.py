@@ -341,6 +341,7 @@ class MultiHeadAttention(nn.Module):
         *,
         key_padding_mask: Optional[jnp.ndarray] = None,  # (B, Lk) True=pad
         attn_bias: Optional[jnp.ndarray] = None,  # additive (B|1, H|1, Lq, Lk)
+        separable_bias=None,  # (dy (B,Lq,GH,H), dx (B,Lq,GW,H), (GH, GW))
         train: bool = False,
     ) -> jnp.ndarray:
         d = self.embed_dim
@@ -367,10 +368,28 @@ class MultiHeadAttention(nn.Module):
         vh = split_heads(v, self.num_heads)
 
         mcfg = self.spec.model
+        if separable_bias is not None:
+            # decoder image cross-attn with separable boxRPB: the chunked
+            # online-softmax path never materializes a (Lq, Lk) tensor; exact
+            # attention-prob dropout happens in-loop (ops/rpb_attention.py,
+            # measured 6.4x faster than the dense path on v5e)
+            from ..ops.rpb_attention import separable_bias_attention
+
+            dy, dx, grid_hw = separable_bias
+            drop = self.dropout if train else 0.0
+            out = separable_bias_attention(
+                qh, kh, vh, dy, dx,
+                grid_hw=grid_hw,
+                dropout=drop,
+                dropout_key=self.make_rng("dropout") if drop > 0.0 else None,
+            )
+            out = merge_heads(out)
+            return LoRALinear(d, self.spec, name="out_proj")(out, train=train)
         # NOTE: routing the decoder's biased cross-attn (Lq=401, Lk=5184,
         # boxRPB) through the flash kernel was MEASURED SLOWER end-to-end
         # (1.56 vs 1.83 img/s/chip): the kernel's dbias pass costs more than
-        # the XLA exact path saves. Flash stays gated on BOTH seqs long.
+        # the XLA exact path saves. Flash stays gated on BOTH seqs long —
+        # and the separable_bias path above supersedes it for boxRPB.
         long_seq = (
             mcfg.use_flash_attention
             and qh.shape[2] >= mcfg.flash_attention_min_seq

@@ -351,3 +351,113 @@ class TestInterpolate:
             torch.from_numpy(x), size=(11, 9), mode="nearest"
         ).numpy()
         np.testing.assert_array_equal(got, want)
+
+
+class TestSeparableBiasAttention:
+    """ops/rpb_attention.py vs the dense boxRPB formulation."""
+
+    def _inputs(self, b=2, h=3, lq=7, gh=6, gw=4, dh=8):
+        k0 = jax.random.PRNGKey(3)
+        ks = jax.random.split(k0, 5)
+        q = jax.random.normal(ks[0], (b, h, lq, dh), jnp.float32)
+        k = jax.random.normal(ks[1], (b, h, gh * gw, dh), jnp.float32)
+        v = jax.random.normal(ks[2], (b, h, gh * gw, dh), jnp.float32)
+        dy = jax.random.normal(ks[3], (b, lq, gh, h), jnp.float32)
+        dx = jax.random.normal(ks[4], (b, lq, gw, h), jnp.float32)
+        return q, k, v, dy, dx, (gh, gw)
+
+    def _dense(self, q, k, v, dy, dx, grid_hw):
+        from sam3_lora_tpu.models.decoder import rpb_dense_bias
+
+        dh = q.shape[-1]
+        bias = rpb_dense_bias(dy, dx)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (dh ** -0.5) + bias
+        probs = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+    def test_matches_dense(self):
+        from sam3_lora_tpu.ops.rpb_attention import separable_bias_attention
+
+        q, k, v, dy, dx, hw = self._inputs()
+        got = separable_bias_attention(q, k, v, dy, dx, grid_hw=hw)
+        want = self._dense(q, k, v, dy, dx, hw)
+        np.testing.assert_allclose(np.array(got), np.array(want), atol=2e-5)
+
+    def test_grads_match_dense(self):
+        from sam3_lora_tpu.ops.rpb_attention import separable_bias_attention
+
+        args = self._inputs()
+        q, k, v, dy, dx, hw = args
+
+        def ls(f):
+            return lambda *a: (f(*a, hw) * jnp.arange(a[0].shape[-1])).sum()
+
+        def sep(q, k, v, dy, dx, hw):
+            return separable_bias_attention(q, k, v, dy, dx, grid_hw=hw)
+
+        g1 = jax.grad(ls(sep), argnums=(0, 1, 2, 3, 4))(q, k, v, dy, dx)
+        g2 = jax.grad(ls(self._dense), argnums=(0, 1, 2, 3, 4))(q, k, v, dy, dx)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(np.array(a), np.array(b_), atol=5e-5)
+
+    def test_dropout_expectation_and_determinism(self):
+        from sam3_lora_tpu.ops.rpb_attention import separable_bias_attention
+
+        q, k, v, dy, dx, hw = self._inputs()
+        key = jax.random.PRNGKey(7)
+        o1 = separable_bias_attention(
+            q, k, v, dy, dx, grid_hw=hw, dropout=0.5, dropout_key=key
+        )
+        o2 = separable_bias_attention(
+            q, k, v, dy, dx, grid_hw=hw, dropout=0.5, dropout_key=key
+        )
+        np.testing.assert_array_equal(np.array(o1), np.array(o2))
+        # expectation over many keys approaches the undropped output
+        outs = [
+            separable_bias_attention(
+                q, k, v, dy, dx, grid_hw=hw, dropout=0.5,
+                dropout_key=jax.random.PRNGKey(100 + i),
+            )
+            for i in range(64)
+        ]
+        mean = np.mean([np.array(o) for o in outs], axis=0)
+        want = np.array(separable_bias_attention(q, k, v, dy, dx, grid_hw=hw))
+        assert np.abs(mean - want).mean() < 0.05
+
+
+class TestDecoderSeparableBiasPath:
+    def test_decoder_flag_equivalence(self):
+        """TransformerDecoder output identical with dense vs separable bias
+        (tiny config has dec_dropout=0, so the paths are exactly comparable)."""
+        import dataclasses
+
+        from sam3_lora_tpu.config import tiny_model_config
+        from sam3_lora_tpu.models.decoder import TransformerDecoder
+        from sam3_lora_tpu.models.layers import Spec
+
+        outs = []
+        for sep in (False, True):
+            cfg = dataclasses.replace(
+                tiny_model_config(), dec_separable_bias=sep, dtype="float32"
+            )
+            sp = Spec(cfg)
+            dec = TransformerDecoder(sp)
+            b, hw, s, d = 2, 6 * 4, 5, cfg.d_model
+            k0 = jax.random.PRNGKey(11)
+            ks = jax.random.split(k0, 4)
+            mem = jax.random.normal(ks[0], (b, hw, d), jnp.float32)
+            mpos = jax.random.normal(ks[1], (b, hw, d), jnp.float32)
+            mtext = jax.random.normal(ks[2], (b, s, d), jnp.float32)
+            params = dec.init(
+                {"params": ks[3]}, mem, mpos, mtext, None, (6, 4), train=True
+            )
+            out = dec.apply(
+                params, mem, mpos, mtext, None, (6, 4), apply_dac=True, train=True
+            )
+            outs.append(out)
+        np.testing.assert_allclose(
+            np.array(outs[0].hs), np.array(outs[1].hs), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.array(outs[0].pred_coords), np.array(outs[1].pred_coords), atol=2e-5
+        )
