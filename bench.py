@@ -64,8 +64,12 @@ def main():
         # storage is numerically identical in the compute path (the fp32->bf16
         # cast happened per-use before) and halves base HBM: 3.4 GB -> 1.7 GB.
         param_dtype=os.environ.get("BENCH_PARAM_DTYPE", "bfloat16"),
-        base_quant=os.environ.get("BENCH_QUANT", "none"),
-        vit_remat_policy=os.environ.get("BENCH_REMAT", "full"),
+        # int8 frozen-base GEMM tier (ops/quant.py): the QLoRA-style
+        # recommended training tier — adapters train against the quantized
+        # base (no train/serve mismatch), measured +2.9% on top of
+        # windows_only remat (2.722 -> 2.80 img/s/chip, v5e bs8).
+        base_quant=os.environ.get("BENCH_QUANT", "int8"),
+        vit_remat_policy=os.environ.get("BENCH_REMAT", "windows_only"),
         enc_remat=os.environ.get("BENCH_ENC_REMAT", "1") == "1",
         # measured on v5e bs8: decoder remat OFF is a pure win (config.py:62-68)
         dec_remat=os.environ.get("BENCH_DEC_REMAT", "0") == "1",

@@ -58,7 +58,16 @@ class ModelConfig:
     #                 qkv/rope half and the fc1/gelu half instead of the whole
     #                 block (the attention kernel's replay is DCE'd because
     #                 its only consumer, x_mid, is saved)
-    vit_remat_policy: str = "full"
+    #   "windows_only" — the 4 GLOBAL blocks run unrematted (backward skips
+    #                 their whole-block replay incl. the 5184-token flash
+    #                 forward); numerically identical to "full" and measured
+    #                 +4.8% on v5e bs8 full-config once the chunked decoder
+    #                 cross-attn freed the HBM headroom. Drop back to "full"
+    #                 if a larger batch/model OOMs.
+    #   "wo_block_mid" — windows_only globals + block_mid windowed blocks
+    #                 (skips the window-attention forward replay too, at the
+    #                 cost of 28 x 106 MB saved residuals at bs8)
+    vit_remat_policy: str = "windows_only"
     # rematerialize the fusion-encoder / decoder layers in training.
     # Measured on v5e (bs8 full-config LoRA): decoder remat OFF is a pure
     # win (+4%, 1.90 vs 1.83 img/s/chip — decoder activations are small and

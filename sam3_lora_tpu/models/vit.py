@@ -229,6 +229,13 @@ class ViT(nn.Module):
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         cfg = self.spec.model
         feat = cfg.feat_size
+        if x.dtype == jnp.uint8:
+            # device-side normalize for the uint8 input path
+            # (transforms.NormalizeToTensor(device_normalize=True)): exactly
+            # (u/255 - 0.5)/0.5 for the production mean=std=0.5
+            x = (
+                x.astype(jnp.float32) * (2.0 / 255.0) - 1.0
+            ).astype(self.spec.dtype)  # f32 math -> bit-matches the host path
         x = PatchEmbed(self.spec, name="patch_embed")(x)  # (B, h, w, C)
 
         if cfg.vit_use_abs_pos:
@@ -325,10 +332,13 @@ def _remat_block(cfg, is_global: bool = False):
     skips the whole-block replay incl. the 5184-token flash forward) while
     the 28 windowed blocks keep full remat — global blocks are 1/8 of the
     depth, so the extra saved activations stay bounded."""
-    if cfg.vit_remat_policy == "windows_only" and is_global:
+    if cfg.vit_remat_policy in ("windows_only", "wo_block_mid") and is_global:
         return Block
     policy = None
-    if cfg.vit_remat_policy == "block_mid":
+    if cfg.vit_remat_policy in ("block_mid", "wo_block_mid"):
+        # "wo_block_mid" = windows_only globals + block_mid windowed blocks:
+        # saving x_mid DCEs the window-attention kernel's forward replay from
+        # the backward (its bwd kernel recomputes q/k/v itself)
         policy = jax.checkpoint_policies.save_only_these_names("vit_block_mid")
     elif cfg.vit_remat_policy not in ("full", "windows_only"):
         raise ValueError(f"unknown vit_remat_policy: {cfg.vit_remat_policy}")

@@ -47,11 +47,13 @@ IMAGE_STD = 0.5
 class Sample:
     """One decoded query: image + padded targets + query text."""
 
-    image: np.ndarray          # (3, R, R) float32 normalized
+    image: np.ndarray          # (3, R, R): uint8 (device-side normalize) or
+                               # float32 already normalized
     text: str
     boxes: np.ndarray          # (T, 4) normalized cxcywh
     valid: np.ndarray          # (T,) bool
-    masks: np.ndarray          # (T, m, m) float32 {0,1}
+    masks: np.ndarray          # (T, m, m) bool — losses cast at use; bool
+                               # quarters the per-batch host->device bytes
     mask_valid: np.ndarray     # (T,) bool
     is_exhaustive: bool
     coco_image_id: int
@@ -225,7 +227,7 @@ class COCOSegmentDataset:
             from .transforms import eval_transforms
 
             dp = eval_transforms(r)(dp, np.random.RandomState(0))
-        img = dp.image  # (3, R, R) normalized by the pipeline's final step
+        img = dp.image  # (3, R, R): uint8 (device-side normalize) or float
         if img.shape != (3, r, r):
             raise ValueError(
                 f"transform pipeline must end at (3,{r},{r}), got {img.shape}"
@@ -233,7 +235,7 @@ class COCOSegmentDataset:
 
         boxes = np.zeros((t_max, 4), np.float32)
         valid = np.zeros((t_max,), bool)
-        masks = np.zeros((t_max, m_res, m_res), np.float32)
+        masks = np.zeros((t_max, m_res, m_res), bool)
         mask_valid = np.zeros((t_max,), bool)
         q = dp.queries[0] if dp.queries else None
         n = 0
@@ -249,12 +251,16 @@ class COCOSegmentDataset:
                 if q.masks is not None and q.masks[i].any():
                     masks[n] = downsample_mask(
                         q.masks[i].astype(np.float32), m_res
-                    )
+                    ) > 0.5
                     mask_valid[n] = True
                 n += 1
 
         return Sample(
-            image=np.ascontiguousarray(img, np.float32),
+            # uint8 images stay uint8 across collate + host->device transfer
+            # (4x fewer bytes through the tunnel); ViT normalizes on device
+            image=np.ascontiguousarray(
+                img if img.dtype == np.uint8 else img.astype(np.float32)
+            ),
             text=q.text if q is not None else "object",
             boxes=boxes,
             valid=valid,

@@ -466,12 +466,32 @@ class RandomMosaic:
 
 class NormalizeToTensor:
     """float [0,1] -> (x-mean)/std, CHW (ToTensorAPI+NormalizeAPI
-    basic_for_api.py:868-921; production mean=std=0.5)."""
+    basic_for_api.py:868-921; production mean=std=0.5).
 
-    def __init__(self, mean: float = 0.5, std: float = 0.5):
+    ``device_normalize=True`` instead emits CHW **uint8** and defers the
+    normalization to the model (ViT casts ``u*(2/255)-1`` on device,
+    models/vit.py). Numerically identical for the production mean=std=0.5
+    — every float image in the pipeline sits on the k/255 grid (photometric
+    ops quantize back to uint8, resize round-trips through PIL uint8) — and
+    it quarters the host->device image bytes (24 MB vs 97 MB per bs8 batch),
+    which on a host-bandwidth-starved input pipeline is the difference
+    between hiding and not hiding the transfer (SURVEY hard-part #4)."""
+
+    def __init__(self, mean: float = 0.5, std: float = 0.5,
+                 device_normalize: bool = False):
+        if device_normalize and (mean != 0.5 or std != 0.5):
+            raise ValueError("device_normalize requires mean=std=0.5")
         self.mean, self.std = mean, std
+        self.device_normalize = device_normalize
 
     def __call__(self, dp: Datapoint, rng=None) -> Datapoint:
+        if self.device_normalize:
+            img = dp.image
+            if img.dtype != np.uint8:
+                img = np.clip(np.round(_as_float(img) * 255.0), 0, 255).astype(
+                    np.uint8
+                )
+            return replace(dp, image=img.transpose(2, 0, 1))
         img = (_as_float(dp.image) - self.mean) / self.std
         return replace(dp, image=img.transpose(2, 0, 1))
 
@@ -688,6 +708,7 @@ def train_transforms(
     hflip: bool = True,
     color_jitter: bool = False,
     scale_jitter: Optional[Sequence[float]] = None,
+    device_normalize: bool = True,
 ) -> Compose:
     """The native LoRA trainer resize-only path, optionally widened with the
     official train augmentations (lora_base.yaml / basic_for_api usage)."""
@@ -701,9 +722,12 @@ def train_transforms(
         ts.append(RandomResize(sizes, square=True))
         ts.append(RandomSizeCrop(min(sizes + [img_size]), img_size))
     ts.append(RandomResize([img_size], square=True))
-    ts.append(NormalizeToTensor())
+    ts.append(NormalizeToTensor(device_normalize=device_normalize))
     return Compose(ts)
 
 
-def eval_transforms(img_size: int = 1008) -> Compose:
-    return Compose([RandomResize([img_size], square=True), NormalizeToTensor()])
+def eval_transforms(img_size: int = 1008, device_normalize: bool = True) -> Compose:
+    return Compose([
+        RandomResize([img_size], square=True),
+        NormalizeToTensor(device_normalize=device_normalize),
+    ])
