@@ -44,44 +44,61 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ) * scale  # (G, L, L) fp32, lives in VMEM only
-    p = jax.nn.softmax(s, axis=-1)
+    # softmax with the normalization moved off the (L, L) matrix: the MXU
+    # work here is only ~1.7 us/program, so every elementwise pass over the
+    # 576x576 scores is on the critical (VPU) path. exp(s-max) is unavoidable,
+    # but the divide is applied to the (L, D) OUTPUT via reciprocal-multiply
+    # (9x fewer elements than normalizing p, and mul not div).
+    p = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))  # unnormalized
+    r = 1.0 / jnp.sum(p, axis=-1)                        # (G, L)
     o = jax.lax.dot_general(
         p.astype(v.dtype), v,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    o_ref[0] = o.astype(o_ref.dtype)
+    o_ref[0] = (o * r[..., None]).astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale):
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
-    do = do_ref[0].astype(jnp.float32)
+    do = do_ref[0]
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ) * scale
-    p = jax.nn.softmax(s, axis=-1)  # (G, L, L)
-    # dV = P^T dO
+    # Unnormalized softmax; the 1/rowsum factor is folded into (G, L, D)
+    # row-scalings (dO for dV, Q for dK, the dQ output) so no (G, L, L)
+    # tensor is ever divided or normalized — rationale as in _fwd_kernel.
+    p = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))  # (G, L, L) fp32
+    inv = 1.0 / jnp.sum(p, axis=-1)                      # (G, L)
+    # Matmul operands are cast to bf16 (fp32 accumulation via
+    # preferred_element_type): fp32-operand matmuls run the MXU at a
+    # fraction of its bf16 rate, and this backward is 5 matmuls.
+    pb = p.astype(q.dtype)
+    # dV = P^T dO = p^T (inv * dO)
     dv = jax.lax.dot_general(
-        p, do, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        pb, (do * inv[..., None].astype(do.dtype)),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
     # dP = dO V^T
     dp = jax.lax.dot_general(
-        do, v.astype(jnp.float32),
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        do, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+    # ds = P*(dP - rowsum(dP*P)) = inv * [p * (dP - c)],  c = inv*rowsum(dP*p)
+    c = inv * jnp.sum(dp * p, axis=-1)                   # (G, L)
+    ds = (p * (dp - c[..., None])).astype(q.dtype)
+    # dQ = (scale*inv) * (ds' K)   — row scaling applied to the (L, D) output
     dq = jax.lax.dot_general(
-        ds, k.astype(jnp.float32),
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        ds, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )
+    ) * (scale * inv[..., None])
+    # dK = ds'^T (scale*inv*Q)     — row scaling applied to the (L, D) input
     dk = jax.lax.dot_general(
-        ds, q.astype(jnp.float32),
+        ds, (q * (scale * inv[..., None]).astype(q.dtype)),
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
