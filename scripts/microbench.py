@@ -90,6 +90,25 @@ def main():
     timeit("global attn PALLAS fwd",
            lambda a: dot_product_attention(a, a, a, impl="pallas"), qg,
            flops=gflops)
+
+    # fusion-encoder self-attention: (B, 8, 5184, 32) — head_dim 32 halves
+    # the MXU tile width again; measure stock flash vs chunked XLA to see
+    # which serves the encoder best (encoder bwd was 353 ms/step in r1)
+    qe = jax.random.normal(key, (B, 8, 5184, 32), jnp.bfloat16)
+    eflops = 4 * B * 8 * 5184 * 5184 * 32
+    timeit("enc attn (D=32) PALLAS fwd",
+           lambda a: dot_product_attention(a, a, a, impl="pallas"), qe,
+           flops=eflops)
+    from sam3_lora_tpu.ops.pallas_attention import chunked_attention
+    timeit("enc attn (D=32) chunked-XLA fwd",
+           lambda a: chunked_attention(a, a, a), qe, flops=eflops)
+
+    def enc_bwd(a):
+        f = lambda a: jnp.sum(
+            dot_product_attention(a, a, a, impl="pallas").astype(jnp.float32))
+        return jax.grad(f)(a)
+
+    timeit("enc attn (D=32) PALLAS fwd+bwd", enc_bwd, qe, flops=eflops * 3.5)
     if os.environ.get("XLA_GLOBAL", "0") == "1":
         # materializes f32 (B,16,5184,5184) logits = 13 GB at B=8 — OOMs the
         # chip; opt-in at small B only
