@@ -92,9 +92,12 @@ def main():
     # randomize images so nothing constant-folds
     import jax.numpy as jnp
 
+    # uint8 images: same dtype the production pipeline ships (the ViT
+    # normalizes on device), so synthetic and real modes compile one step
     batch = batch.replace(
         images=jnp.asarray(
-            rng.randn(batch_size, 3, cfg.img_size, cfg.img_size), jnp.float32
+            rng.randint(0, 256, (batch_size, 3, cfg.img_size, cfg.img_size)),
+            jnp.uint8,
         )
     )
 
