@@ -103,6 +103,10 @@ def main():
 
     params = init_model_fast(model)
     trainable, frozen = split_trainable(params)
+    if cfg.base_quant != "none" and os.environ.get("BENCH_PREQUANT", "1") == "1":
+        from sam3_lora_tpu.ops.quant import prequantize_base
+
+        frozen = prequantize_base(frozen, min_dim=cfg.base_quant_min_dim)
     tx, _ = make_optimizer(TrainConfig(num_epochs=1), steps_per_epoch=steps)
     opt_state = tx.init(trainable)
     step = make_train_step(model, tx, LossConfig(), accum=accum)

@@ -118,11 +118,28 @@ class LoRALinear(nn.Module):
             # int8 MXU tier for the frozen base GEMM (ops/quant.py). Exact
             # w.r.t. the LoRA adapters: y = q(W)x + BAx, and the base is
             # frozen so the quantization is a fixed (re)parameterization.
-            from ..ops.quant import int8_matmul
+            # The scale param is filled by ops.quant.prequantize_base (the
+            # kernel leaf becomes int8); un-transformed trees take the
+            # dynamic-quantization path with identical numerics.
+            from ..ops.quant import int8_matmul, int8_matmul_prequant
 
-            y = int8_matmul(
-                x.astype(dtype), kernel, mcfg.base_quant == "int8_bwd"
+            scale = self.param(
+                "kernel_scale",
+                nn.initializers.zeros_init(),
+                (1, self.features),
+                jnp.float32,
             )
+            if perm is not None:
+                scale = jnp.take(scale, perm, axis=1)
+            if kernel.dtype == jnp.int8:
+                y = int8_matmul_prequant(
+                    x.astype(dtype), kernel, scale,
+                    mcfg.base_quant == "int8_bwd",
+                )
+            else:
+                y = int8_matmul(
+                    x.astype(dtype), kernel, mcfg.base_quant == "int8_bwd"
+                )
         else:
             y = jnp.dot(x.astype(dtype), kernel.astype(dtype))
         if self.use_bias:

@@ -113,3 +113,58 @@ def _int8_bwd(bwd_int8, res, dy):
 
 
 int8_matmul.defvjp(_int8_fwd, _int8_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def int8_matmul_prequant(
+    x: jnp.ndarray, wq: jnp.ndarray, ws: jnp.ndarray, bwd_int8: bool = False
+):
+    """y = x @ dequant(wq, ws) on the int8 MXU path, with the weight already
+    quantized offline (``quantize_weight``). Numerically identical to
+    ``int8_matmul`` — the dynamic path re-derives exactly this (wq, ws) every
+    step (and again in every remat replay); pre-quantizing removes that
+    per-step pass and halves frozen-base HBM (int8 weights instead of bf16).
+
+    wq: int8 (K, N); ws: f32 (1, N) per-output-channel scale.
+    """
+    return _int8_pre_fwd(x, wq, ws, bwd_int8)[0]
+
+
+def _int8_pre_fwd(x, wq, ws, bwd_int8):
+    xq, xs = _quant_lastdim(x)
+    y = _int8_dot(xq, wq).astype(jnp.float32) * xs * ws
+    return y.astype(x.dtype), (wq, ws)
+
+
+def _int8_pre_bwd(bwd_int8, res, dy):
+    wq, ws = res
+    dx, _ = _int8_bwd(bwd_int8, res, dy)
+    return dx, jnp.zeros(wq.shape, jnp.float32), jnp.zeros(ws.shape, jnp.float32)
+
+
+int8_matmul_prequant.defvjp(_int8_pre_fwd, _int8_pre_bwd)
+
+
+def prequantize_base(frozen_flat: dict, min_dim: int = 512) -> dict:
+    """Quantize every eligible frozen LoRALinear kernel offline.
+
+    Input/output: the tuple-keyed flat frozen dict from
+    ``train.trainer.split_trainable``. A kernel is eligible iff its module
+    declared a ``kernel_scale`` sibling (LoRALinear does so exactly when the
+    config's quant gate covers it) and ``min(K, N) >= min_dim``. The bf16
+    kernel leaf is replaced by the int8 tensor and the sibling scale is
+    filled in; everything else passes through unchanged.
+    """
+    out = dict(frozen_flat)
+    for key, w in frozen_flat.items():
+        if key[-1] != "kernel":
+            continue
+        skey = key[:-1] + ("kernel_scale",)
+        if skey not in frozen_flat:
+            continue
+        if w.ndim != 2 or min(w.shape) < min_dim or w.dtype == jnp.int8:
+            continue
+        wq, ws = quantize_weight(w)
+        out[key] = wq
+        out[skey] = ws
+    return out

@@ -267,6 +267,16 @@ class Trainer:
             stats["trainable_percentage"],
         )
         trainable, frozen = split_trainable(params)
+        if self.model.spec.model.base_quant != "none":
+            # quantize the frozen base once, offline (ops/quant.py): identical
+            # numerics to the dynamic path, minus the per-step (and per-remat-
+            # replay) weight-quantization pass, and int8 weights halve the
+            # frozen tree's HBM footprint
+            from ..ops.quant import prequantize_base
+
+            frozen = prequantize_base(
+                frozen, min_dim=self.model.spec.model.base_quant_min_dim
+            )
         self.tx, self.sched = make_optimizer(self.tcfg, steps_per_epoch)
         opt_state = jax.device_put(self.tx.init(trainable), rep)
         self.state = TrainState(

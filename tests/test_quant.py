@@ -139,3 +139,91 @@ def test_lora_linear_base_quant_gating_and_adapter_grads(rng):
     np.testing.assert_array_equal(
         np.asarray(small.apply(ps, xs)), np.asarray(small_off.apply(ps, xs))
     )
+
+
+@pytest.mark.fast
+def test_prequantize_base_bit_identical(rng):
+    """prequantize_base + int8_matmul_prequant == dynamic int8 path exactly
+    (same (wq, ws) derivation, same int8 dot, same rescale)."""
+    from sam3_lora_tpu.config import LoRAConfig, ModelConfig
+    from sam3_lora_tpu.models.layers import LoRALinear, Spec
+    from sam3_lora_tpu.ops.quant import prequantize_base
+    from sam3_lora_tpu.train.trainer import merge_trainable, split_trainable
+
+    import flax.linen as nn
+
+    mcfg = ModelConfig(
+        dtype="float32", param_dtype="float32", base_quant="int8",
+        base_quant_min_dim=512,
+    )
+    lcfg = LoRAConfig(rank=4, alpha=8.0, dropout=0.0, target_modules=("big",))
+    spec = Spec(model=mcfg, lora=lcfg)
+
+    class Wrap(nn.Module):
+        spec: Spec
+        feat: int
+        perm: tuple = None
+
+        @nn.compact
+        def __call__(self, x):
+            return LoRALinear(
+                features=self.feat, spec=self.spec, name="big",
+                out_perm=self.perm,
+            )(x)
+
+    x = jax.random.normal(jax.random.fold_in(rng, 20), (4, 1024), jnp.float32)
+    for perm in (None, tuple(np.random.RandomState(0).permutation(1024))):
+        m = Wrap(spec=spec, feat=1024, perm=perm)
+        params = m.init(jax.random.fold_in(rng, 21), x)
+        y_dyn = m.apply(params, x)
+        trainable, frozen = split_trainable(params)
+
+        # grads w.r.t. the adapters only (the production train step never
+        # differentiates the frozen tree — int8 leaves are not inexact)
+        def loss(tr, fr):
+            return jnp.sum(m.apply(merge_trainable(tr, fr), x) ** 2)
+
+        g_dyn = jax.grad(loss)(trainable, frozen)
+        frozen_q = prequantize_base(frozen, min_dim=512)
+        k = ("params", "big", "kernel")
+        assert frozen_q[k].dtype == jnp.int8
+        y_pre = m.apply(merge_trainable(trainable, frozen_q), x)
+        g_pre = jax.grad(loss)(trainable, frozen_q)
+        np.testing.assert_array_equal(np.asarray(y_dyn), np.asarray(y_pre))
+        kb = ("params", "big", "lora_b")
+        np.testing.assert_array_equal(np.asarray(g_dyn[kb]), np.asarray(g_pre[kb]))
+
+
+@pytest.mark.fast
+def test_trainer_fit_with_prequantized_base(tmp_path):
+    """Full Trainer.fit with base_quant=int8: the frozen tree is pre-quantized
+    once (kernel leaves become int8) and training still converges finitely."""
+    import os
+
+    from sam3_lora_tpu.config import LoRAConfig, TrainConfig, tiny_model_config
+    from sam3_lora_tpu.train.data import (
+        COCOSegmentDataset,
+        DataLoader,
+        make_synthetic_coco,
+    )
+    from sam3_lora_tpu.train.trainer import Trainer
+
+    root = str(tmp_path / "ds")
+    make_synthetic_coco(root, "train", num_images=8, img_size=56)
+    cfg = tiny_model_config(base_quant="int8", base_quant_min_dim=16)
+    tr = Trainer(
+        model_cfg=cfg,
+        lora_cfg=LoRAConfig(rank=2, alpha=4.0, target_modules=("fc1", "fc2")),
+        train_cfg=TrainConfig(
+            batch_size=4, num_epochs=2, logging_steps=1,
+            output_dir=str(tmp_path / "out"), learning_rate=1e-3,
+        ),
+    )
+    ds = COCOSegmentDataset(root, "train", model_config=cfg)
+    res = tr.fit(DataLoader(ds, 4, seed=0), None)
+    assert np.isfinite(res["history"]["train_loss"]).all()
+    n_int8 = sum(
+        1 for k, v in tr.state.frozen.items()
+        if k[-1] == "kernel" and v.dtype == jnp.int8
+    )
+    assert n_int8 > 0, "no frozen kernel was pre-quantized"
