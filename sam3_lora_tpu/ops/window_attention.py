@@ -38,6 +38,41 @@ HEAD_GROUP = int(os.environ.get("SAM3_WINDOW_HEAD_GROUP", "2"))
 # g=1 degenerates catastrophically and g=8 exceeds the 16 MB VMEM budget)
 
 
+_INTERLEAVE = os.environ.get("SAM3_WINDOW_INTERLEAVE", "0") == "1"
+
+
+def _fwd_kernel_interleave(q_ref, k_ref, v_ref, o_ref, *, scale):
+    """Per-head software pipeline: issue head i+1's QK^T (MXU) before head
+    i's softmax (VPU) so the compiler can overlap the two units — the batched
+    dot_general formulation forces MXU -> VPU -> MXU serialization per
+    program. Numerics identical to _fwd_kernel; env-gated experiment
+    (SAM3_WINDOW_INTERLEAVE=1)."""
+    q = q_ref[0]  # (G, L, D)
+    k = k_ref[0]
+    v = v_ref[0]
+    g = q.shape[0]
+
+    def qk(i):
+        return jax.lax.dot_general(
+            q[i], k[i], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+    s_next = qk(0)
+    for i in range(g):
+        s_i = s_next
+        if i + 1 < g:
+            s_next = qk(i + 1)  # MXU work issued before head i's VPU passes
+        p = jnp.exp(s_i - jnp.max(s_i, axis=-1, keepdims=True))
+        r = 1.0 / jnp.sum(p, axis=-1)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v[i],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, i] = (o * r[:, None]).astype(o_ref.dtype)
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
     q = q_ref[0]  # (G, L, D)
     k = k_ref[0]
@@ -139,8 +174,9 @@ def _wa_fwd(q, k, v, scale):
     b, h, l, d = q.shape
     g = HEAD_GROUP if h % HEAD_GROUP == 0 else 1
     qg, kg, vg = _grouped(q, g), _grouped(k, g), _grouped(v, g)
+    fwd = _fwd_kernel_interleave if _INTERLEAVE else _fwd_kernel
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale),
+        functools.partial(fwd, scale=scale),
         out_shape=jax.ShapeDtypeStruct(qg.shape, v.dtype),
         grid=(qg.shape[0],),
         in_specs=[_specs(g, l, d)] * 3,
