@@ -103,6 +103,7 @@ def main():
 
     params = init_model_fast(model)
     trainable, frozen = split_trainable(params)
+    del params  # would otherwise pin the bf16 kernels alongside the int8 tree
     if cfg.base_quant != "none" and os.environ.get("BENCH_PREQUANT", "1") == "1":
         from sam3_lora_tpu.ops.quant import prequantize_base
 

@@ -32,7 +32,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os
 
-HEAD_GROUP = int(os.environ.get("SAM3_WINDOW_HEAD_GROUP", "2"))
+def _head_group_from_env() -> int:
+    raw = os.environ.get("SAM3_WINDOW_HEAD_GROUP", "2")
+    try:
+        g = int(raw)
+    except ValueError:
+        g = 2
+    return max(1, g)
+
+
+HEAD_GROUP = _head_group_from_env()
 # heads per program: logits VMEM = HEAD_GROUP * L^2 * 4 bytes
 # (g=2 measured fastest at (72,16,576,64): 6.7 ms vs 7.1 ms g=4, 8.9 ms XLA;
 # g=1 degenerates catastrophically and g=8 exceeds the 16 MB VMEM budget)

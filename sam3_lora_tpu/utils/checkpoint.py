@@ -22,7 +22,7 @@ def save_base_checkpoint(params, path: str) -> int:
     out = {
         ".".join(k): np.asarray(v)
         for k, v in flat.items()
-        if k[-1] not in ("lora_a", "lora_b")
+        if k[-1] not in ("lora_a", "lora_b", "kernel_scale")
     }
     np.savez(path, **out)
     return len(out)
@@ -52,8 +52,14 @@ def load_base_checkpoint(params, path: str, strict: bool = True) -> Tuple[Any, i
         raise KeyError(
             f"{len(missing)} checkpoint keys not in model (first: {missing[:5]})"
         )
+    # kernel_scale leaves exist only when the int8 quant tier is enabled;
+    # they are filled by ops.quant.prequantize_base (and ignored by the
+    # dynamic-quant forward while the kernel is still a float dtype), so a
+    # converted base checkpoint legitimately lacks them.
     model_base = {
-        name for name, k in by_name.items() if k[-1] not in ("lora_a", "lora_b")
+        name
+        for name, k in by_name.items()
+        if k[-1] not in ("lora_a", "lora_b", "kernel_scale")
     }
     not_loaded = model_base - set(data.files)
     if not_loaded and strict:

@@ -38,7 +38,7 @@ def timeit(name, fn, *args, flops=None):
     _fetch(out)
     dt = (time.time() - t0) / REPS
     tf = f"  {flops / dt / 1e12:7.1f} TF/s" if flops else ""
-    print(f"{name:44s} {dt * 1e3:8.2f} ms{tf}")
+    print(f"{name:44s} {dt * 1e3:8.2f} ms{tf}", flush=True)
     return dt
 
 

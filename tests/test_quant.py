@@ -227,3 +227,50 @@ def test_trainer_fit_with_prequantized_base(tmp_path):
         if k[-1] == "kernel" and v.dtype == jnp.int8
     )
     assert n_int8 > 0, "no frozen kernel was pre-quantized"
+
+
+def test_base_checkpoint_roundtrip_across_quant_configs(tmp_path, rng):
+    """A base checkpoint saved from a non-quant model loads STRICTLY into a
+    quant-enabled model (kernel_scale leaves are quant-tier params filled by
+    prequantize_base, never part of a converted checkpoint), and vice versa."""
+    import jax.random as jrandom
+
+    from sam3_lora_tpu.config import LoRAConfig, tiny_model_config
+    from sam3_lora_tpu.models import build_sam3_image_model, init_model
+    from sam3_lora_tpu.utils.checkpoint import (
+        load_base_checkpoint,
+        save_base_checkpoint,
+    )
+
+    lora = LoRAConfig(rank=2, alpha=4.0, target_modules=("fc1", "fc2"))
+    plain = build_sam3_image_model(tiny_model_config(), lora=lora)
+    quant = build_sam3_image_model(
+        tiny_model_config(base_quant="int8", base_quant_min_dim=16), lora=lora
+    )
+    p_plain = init_model(plain, jrandom.PRNGKey(0))
+    p_quant = init_model(quant, jrandom.PRNGKey(1))
+
+    path = str(tmp_path / "base.npz")
+    save_base_checkpoint(p_plain, path)
+    loaded, n = load_base_checkpoint(p_quant, path, strict=True)
+    assert n > 0
+    # quant-only leaves survive untouched; base leaves match the checkpoint
+    from flax import traverse_util
+
+    flat_src = traverse_util.flatten_dict(p_plain)
+    flat_dst = traverse_util.flatten_dict(loaded)
+    for k, v in flat_dst.items():
+        if k[-1] == "kernel_scale":
+            continue
+        if k[-1] in ("lora_a", "lora_b"):
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(v, np.float32), np.asarray(flat_src[k], np.float32),
+            err_msg=str(k),
+        )
+
+    # reverse direction: checkpoint saved from the quant model must not leak
+    # kernel_scale keys (they would break strict load into a plain model)
+    path2 = str(tmp_path / "base2.npz")
+    save_base_checkpoint(p_quant, path2)
+    load_base_checkpoint(p_plain, path2, strict=True)
