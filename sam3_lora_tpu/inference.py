@@ -60,6 +60,14 @@ class SAM3LoRAInference:
             self.params, _ = load_base_checkpoint(self.params, base_checkpoint)
         if weights:
             self.load_adapters(weights)
+        if self.cfg.base_quant != "none":
+            # quantize the frozen base once at load (bit-identical to the
+            # dynamic path, halves frozen HBM, skips per-call weight quant)
+            from .ops.quant import prequantize_tree
+
+            self.params = prequantize_tree(
+                self.params, self.cfg.base_quant_min_dim
+            )
 
         model = self.model
 

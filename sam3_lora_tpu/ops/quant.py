@@ -145,6 +145,17 @@ def _int8_pre_bwd(bwd_int8, res, dy):
 int8_matmul_prequant.defvjp(_int8_pre_fwd, _int8_pre_bwd)
 
 
+def prequantize_tree(params, min_dim: int = 512):
+    """Nested-pytree variant of ``prequantize_base`` for the serving paths
+    (Sam3Processor / SAM3LoRAInference): quantizes every eligible base kernel
+    in place of its bf16 leaf. Adapter leaves (lora_a/lora_b) are untouched —
+    only ``kernel`` leaves with a ``kernel_scale`` sibling are candidates."""
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(params)
+    return traverse_util.unflatten_dict(prequantize_base(flat, min_dim=min_dim))
+
+
 def prequantize_base(frozen_flat: dict, min_dim: int = 512) -> dict:
     """Quantize every eligible frozen LoRALinear kernel offline.
 

@@ -44,6 +44,14 @@ class Sam3Processor:
             self.params, _ = load_base_checkpoint(self.params, base_checkpoint)
         if weights:
             self.params, _ = load_lora_weights(self.params, weights)
+        if self.cfg.base_quant != "none":
+            # quantize the frozen base once at load (bit-identical to the
+            # dynamic path, halves frozen HBM, skips per-call weight quant)
+            from .ops.quant import prequantize_tree
+
+            self.params = prequantize_tree(
+                self.params, self.cfg.base_quant_min_dim
+            )
 
         model = self.model
 

@@ -62,15 +62,9 @@ def run(quant: str, batches):
     model = build_sam3_image_model(cfg, lora=lcfg)
     params = init_model_fast(model)
     if quant != "none":
-        from flax import traverse_util
+        from sam3_lora_tpu.ops.quant import prequantize_tree
 
-        from sam3_lora_tpu.ops.quant import prequantize_base
-
-        trainable, frozen = split_trainable(params)
-        frozen = prequantize_base(frozen, min_dim=cfg.base_quant_min_dim)
-        merged = dict(frozen)
-        merged.update(trainable)
-        params = traverse_util.unflatten_dict(merged)
+        params = prequantize_tree(params, min_dim=cfg.base_quant_min_dim)
 
     @jax.jit
     def encode(p, images):

@@ -71,3 +71,35 @@ def test_requires_image_first():
     p = Sam3Processor(model_cfg=tiny_model_config())
     with pytest.raises((RuntimeError, TypeError, KeyError)):
         p.set_text_prompt("crack")
+
+
+def test_int8_processor_prequantizes_and_matches_dynamic():
+    """base_quant=int8 processor: base kernels become int8 at construction,
+    and results are IDENTICAL to the dynamic-quant path (prequantization is a
+    bit-exact reparameterization, ops/quant.py docstring)."""
+    import jax.numpy as jnp
+    from flax import traverse_util
+
+    cfg = tiny_model_config(base_quant="int8", base_quant_min_dim=16)
+    p_pre = Sam3Processor(model_cfg=cfg, threshold=0.0, seed=3)
+    n_int8 = sum(
+        1
+        for k, v in traverse_util.flatten_dict(p_pre.params).items()
+        if k[-1] == "kernel" and v.dtype == jnp.int8
+    )
+    assert n_int8 > 0, "no base kernel was pre-quantized at construction"
+
+    # dynamic-path twin: same seed, prequantization undone by rebuilding the
+    # params without the auto-prequant (construct then restore bf16 leaves)
+    p_dyn = Sam3Processor(model_cfg=cfg, threshold=0.0, seed=3)
+    from sam3_lora_tpu.models import build_sam3_image_model, init_model
+    import jax
+
+    model = build_sam3_image_model(cfg)
+    p_dyn.params = init_model(model, jax.random.PRNGKey(3))
+
+    img = image(seed=7)
+    r_pre = p_pre.set_image(img).set_text_prompt("crack", threshold=0.0)
+    r_dyn = p_dyn.set_image(img).set_text_prompt("crack", threshold=0.0)
+    np.testing.assert_array_equal(r_pre["scores"], r_dyn["scores"])
+    np.testing.assert_array_equal(r_pre["boxes"], r_dyn["boxes"])
