@@ -274,3 +274,55 @@ def test_base_checkpoint_roundtrip_across_quant_configs(tmp_path, rng):
     path2 = str(tmp_path / "base2.npz")
     save_base_checkpoint(p_quant, path2)
     load_base_checkpoint(p_plain, path2, strict=True)
+
+
+@pytest.mark.slow
+def test_multichip_int8_fsdp_train_step():
+    """The headline-bench combination on the virtual mesh: int8-prequantized
+    frozen base, FSDP-sharded over the data axis of an 8-device (4,2) mesh,
+    one jitted train step compiles and yields a finite loss. De-risks the
+    sharded-int8 path (int8 kernel leaves + f32 scale siblings under GSPMD)
+    that single-device tests cannot see."""
+    import jax
+    import optax
+
+    from sam3_lora_tpu.config import LoRAConfig, tiny_model_config
+    from sam3_lora_tpu.models import build_sam3_image_model, init_model
+    from sam3_lora_tpu.models.builder import dummy_batch
+    from sam3_lora_tpu.ops.quant import prequantize_base
+    from sam3_lora_tpu.parallel import (
+        make_mesh,
+        param_shardings,
+        replicated,
+        shard_batch,
+    )
+    from sam3_lora_tpu.train.losses import LossConfig
+    from sam3_lora_tpu.train.trainer import make_train_step, split_trainable
+
+    cfg = tiny_model_config(base_quant="int8", base_quant_min_dim=16)
+    lcfg = LoRAConfig(rank=2, alpha=4.0, target_modules=("fc1", "fc2"))
+    model = build_sam3_image_model(cfg, lora=lcfg)
+    mesh = make_mesh(n_devices=8, model_parallel=2)
+    b = mesh.shape["data"] * 2
+    batch = dummy_batch(cfg, batch_size=b, with_targets=True)
+
+    with mesh:
+        params = init_model(model, jax.random.PRNGKey(0), train=False)
+        params = jax.device_put(
+            params, param_shardings(params, mesh, shard_base=True)
+        )
+        trainable, frozen = split_trainable(params)
+        frozen = prequantize_base(frozen, min_dim=16)
+        n_int8 = sum(
+            1 for k, v in frozen.items()
+            if k[-1] == "kernel" and v.dtype == jnp.int8
+        )
+        assert n_int8 > 0
+        tx = optax.sgd(1e-2)
+        opt_state = jax.device_put(tx.init(trainable), replicated(mesh))
+        step = make_train_step(model, tx, LossConfig(), accum=2, mesh=mesh)
+        trainable, opt_state, losses = step(
+            trainable, frozen, opt_state, shard_batch(batch, mesh),
+            jax.random.PRNGKey(1),
+        )
+        assert np.isfinite(float(losses["core_loss"]))
