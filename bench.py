@@ -70,7 +70,10 @@ def main():
         # windows_only remat (2.722 -> 2.80 img/s/chip, v5e bs8).
         base_quant=os.environ.get("BENCH_QUANT", "int8"),
         vit_remat_policy=os.environ.get("BENCH_REMAT", "windows_only"),
+        # "1" = full layer remat (default), "0" = no remat (flash residuals
+        # saved), "ffn" = remat only the FFN sub-block (attention unrematted)
         enc_remat=os.environ.get("BENCH_ENC_REMAT", "1") == "1",
+        enc_remat_ffn=os.environ.get("BENCH_ENC_REMAT", "1") == "ffn",
         # measured on v5e bs8: decoder remat OFF is a pure win (config.py:62-68)
         dec_remat=os.environ.get("BENCH_DEC_REMAT", "0") == "1",
     )

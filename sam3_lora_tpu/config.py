@@ -74,6 +74,13 @@ class ModelConfig:
     # the backward skips the 6-layer replay); encoder remat OFF exhausts
     # HBM (the 6x 5184-token attention activations), so it stays ON.
     enc_remat: bool = True
+    # middle ground when enc_remat is False: remat ONLY the FFN sub-block
+    # (frees the (B, 5184, 2048) hidden, ~170 MB/layer at bs8) while the
+    # attention stays unrematted — the stock flash kernel keeps its softmax
+    # stats as custom-VJP residuals, so any remat region containing it
+    # replays the whole 5184-token forward kernel; splitting the layer is
+    # the only way to save the flash residuals but not the FFN hidden.
+    enc_remat_ffn: bool = False
     dec_remat: bool = False
     # decoder boxRPB cross-attn: chunked separable-bias path (never builds the
     # dense (B,H,Q,HW) bias/logits; ops/rpb_attention.py). False = dense oracle.

@@ -27,6 +27,18 @@ from flax import linen as nn
 from .layers import Dropout, LayerNorm, LoRALinear, MultiHeadAttention, Spec
 
 
+def _ffn(layer: "EncoderLayer", x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    """The FFN sub-block as a liftable function (first arg = module) so it can
+    be rematted on its own — see ModelConfig.enc_remat_ffn. Module names are
+    created in the layer's own scope, so parameter paths are identical whether
+    or not the remat wrapper is applied."""
+    x = LoRALinear(layer.ffn_dim, layer.spec, name="linear1")(x, train=train)
+    x = jax.nn.relu(x)
+    x = Dropout(layer.dropout, name="dropout")(x, train=train)
+    x = LoRALinear(layer.d_model, layer.spec, name="linear2")(x, train=train)
+    return x
+
+
 class EncoderLayer(nn.Module):
     """Pre-norm self-attn -> cross-attn -> FFN (encoder.py:139-201)."""
 
@@ -38,6 +50,7 @@ class EncoderLayer(nn.Module):
     pos_enc_at_attn: bool
     pos_enc_at_cross_attn_keys: bool
     pos_enc_at_cross_attn_queries: bool
+    remat_ffn: bool = False
 
     @nn.compact
     def __call__(
@@ -72,10 +85,12 @@ class EncoderLayer(nn.Module):
 
         # FFN
         tgt2 = LayerNorm(name="norm3")(tgt)
-        tgt2 = LoRALinear(self.ffn_dim, sp, name="linear1")(tgt2, train=train)
-        tgt2 = jax.nn.relu(tgt2)
-        tgt2 = Dropout(self.dropout, name="dropout")(tgt2, train=train)
-        tgt2 = LoRALinear(self.d_model, sp, name="linear2")(tgt2, train=train)
+        ffn = (
+            nn.remat(_ffn, static_argnums=(2,))
+            if (train and self.remat_ffn)
+            else _ffn
+        )
+        tgt2 = ffn(self, tgt2, train)
         tgt = tgt + Dropout(self.dropout, name="dropout3")(tgt2, train=train)
         return tgt
 
@@ -117,6 +132,7 @@ class TransformerEncoderFusion(nn.Module):
                 pos_enc_at_attn=True,
                 pos_enc_at_cross_attn_keys=False,
                 pos_enc_at_cross_attn_queries=False,
+                remat_ffn=(not cfg.enc_remat) and cfg.enc_remat_ffn,
                 name=f"layers.{i}",
             )(out, prompt, src_pos, None, None, prompt_key_padding_mask, train)
         return out

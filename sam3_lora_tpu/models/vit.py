@@ -109,6 +109,17 @@ class Attention(nn.Module):
             jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3)
         ]  # each (B, H, L, hd)
 
+        # 5184-token global blocks: fused flash attention (13 GB of fp32
+        # logits at bs 8 otherwise). Windowed blocks: whole-window fused
+        # kernel (ops/window_attention.py) — logits never leave VMEM.
+        if cfg.use_flash_attention and l >= cfg.flash_attention_min_seq:
+            impl = "pallas"
+        elif cfg.use_flash_attention and self.input_size[0] == cfg.vit_window_size:
+            impl = "window"
+        else:
+            impl = "xla"
+
+        rope_cos = rope_sin = None
         if cfg.vit_use_rope:
             angles = compute_axial_freqs(
                 head_dim,
@@ -119,19 +130,17 @@ class Attention(nn.Module):
             )
             cos = jnp.asarray(np.cos(angles))
             sin = jnp.asarray(np.sin(angles))
-            q = apply_rope_half(q, cos, sin)
-            k = apply_rope_half(k, cos, sin)
+            from ..ops.window_attention import FUSE_ROPE
 
-        # 5184-token global blocks: fused flash attention (13 GB of fp32
-        # logits at bs 8 otherwise). Windowed blocks: whole-window fused
-        # kernel (ops/window_attention.py) — logits never leave VMEM.
-        if cfg.use_flash_attention and l >= cfg.flash_attention_min_seq:
-            impl = "pallas"
-        elif cfg.use_flash_attention and self.input_size[0] == cfg.vit_window_size:
-            impl = "window"
-        else:
-            impl = "xla"
-        out = dot_product_attention(q, k, v, impl=impl)
+            if impl == "window" and FUSE_ROPE:
+                # rotation fused into the window kernel (VMEM-resident)
+                rope_cos, rope_sin = cos, sin
+            else:
+                q = apply_rope_half(q, cos, sin)
+                k = apply_rope_half(k, cos, sin)
+        out = dot_product_attention(
+            q, k, v, impl=impl, rope_cos=rope_cos, rope_sin=rope_sin
+        )
         out = merge_heads(out)
         out = LoRALinear(dim, self.spec, name="proj")(out, train=train)
         return out.reshape(b, h, w, dim)

@@ -51,26 +51,43 @@ def dot_product_attention(
     key_padding_mask: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
     impl: str = "xla",
+    rope_cos: Optional[jnp.ndarray] = None,
+    rope_sin: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Scaled dot-product attention over (B, H, L, Dh) tensors."""
+    """Scaled dot-product attention over (B, H, L, Dh) tensors.
+
+    ``rope_cos``/``rope_sin`` (L, Dh//2): when given, q/k arrive UNROTATED in
+    rotate-half channel layout and the RoPE rotation is applied here — fused
+    into the window kernel on TPU, as a separate ``apply_rope_half`` pass
+    otherwise. Only ``impl="window"`` accepts them.
+    """
     if impl == "pallas":
         from .pallas_attention import flash_attention
 
+        assert rope_cos is None
         return flash_attention(
             q, k, v, bias=bias, key_padding_mask=key_padding_mask, scale=scale
         )
     if impl == "window":
         # fused whole-window kernel (no mask/bias support by design)
         from .pallas_attention import _is_tpu_backend
-        from .window_attention import window_attention
+        from .window_attention import window_attention, window_attention_rope
 
         assert bias is None and key_padding_mask is None
         if _is_tpu_backend():
             d = q.shape[-1]
-            return window_attention(
-                q, k, v, float(d ** -0.5) if scale is None else float(scale)
-            )
+            s = float(d ** -0.5) if scale is None else float(scale)
+            if rope_cos is not None:
+                return window_attention_rope(q, k, v, s, rope_cos, rope_sin)
+            return window_attention(q, k, v, s)
+        if rope_cos is not None:
+            from .rope import apply_rope_half
+
+            q = apply_rope_half(q, rope_cos, rope_sin)
+            k = apply_rope_half(k, rope_cos, rope_sin)
         impl = "xla"  # CPU tests fall through to the reference expression
+    else:
+        assert rope_cos is None
     d = q.shape[-1]
     scale = (d ** -0.5) if scale is None else scale
     logits = jnp.einsum(

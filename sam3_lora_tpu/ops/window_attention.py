@@ -49,6 +49,90 @@ HEAD_GROUP = _head_group_from_env()
 
 _INTERLEAVE = os.environ.get("SAM3_WINDOW_INTERLEAVE", "0") == "1"
 
+# Fuse the RoPE rotation of q/k into the kernel (rotate-half layout, see
+# ops/rope.py::apply_rope_half): the rotation happens on VMEM-resident tiles
+# where its VPU work can overlap the MXU matmuls, and the backward replay
+# under remat recomputes it for free instead of re-running the separate
+# elementwise pass. Env-gated experiment (SAM3_WINDOW_FUSE_ROPE=1).
+FUSE_ROPE = os.environ.get("SAM3_WINDOW_FUSE_ROPE", "0") == "1"
+
+# Move the softmax row-sum off the VPU and onto the MXU by appending a ones
+# column to V: o_ext = P @ [V | 1] yields P@V and rowsum(P) in ONE matmul —
+# the output tile was only D=64 of 128 lanes wide, so the extra column is
+# free. Also rescales scores by log2(e) once so the exponential is a bare
+# exp2. The kernels are VPU-bound (exp/max/sum passes over the 576^2 scores
+# serialize against ~1.7us of MXU work), so shaving VPU passes is the lever.
+# Env-gated experiment (SAM3_WINDOW_MXU_SUM=1).
+_MXU_SUM = os.environ.get("SAM3_WINDOW_MXU_SUM", "0") == "1"
+
+_LOG2E = 1.4426950408889634
+
+# Tests set this to run the kernels off-TPU via the Pallas interpreter.
+_FORCE_INTERPRET = False
+
+
+def _scores(q, k, scale):
+    """Unnormalized softmax numerator p = exp(s - rowmax(s)) in fp32, for
+    (G, L, D) operands. Under _MXU_SUM the log2(e) factor is folded into the
+    score scale so the exponential is a bare exp2 (identical values)."""
+    mult = scale * _LOG2E if _MXU_SUM else scale
+    s = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * mult
+    m = jnp.max(s, axis=-1, keepdims=True)
+    return jnp.exp2(s - m) if _MXU_SUM else jnp.exp(s - m)
+
+
+def _pv_and_recip_rowsum(p, v):
+    """o = P@V (fp32) and r = 1/rowsum(P). Under _MXU_SUM the rowsum rides
+    the PV matmul as an appended ones column of V (the output tile is only
+    D=64 of 128 lanes wide — the extra column is free MXU work and removes a
+    VPU reduction pass over the (L, L) scores)."""
+    if _MXU_SUM:
+        g, l, d = v.shape
+        vx = jnp.concatenate([v, jnp.ones((g, l, 1), v.dtype)], axis=-1)
+        ox = jax.lax.dot_general(
+            p.astype(v.dtype), vx,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        return ox[..., :d], 1.0 / ox[..., d]
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    return o, 1.0 / jnp.sum(p, axis=-1)
+
+
+def _recip_rowsum(p, dtype):
+    """1/rowsum(p) for (G, L, L) p — ones-matmul on the MXU under _MXU_SUM
+    (operand cast to ``dtype``), VPU reduction otherwise."""
+    if _MXU_SUM:
+        g, l, _ = p.shape
+        ones = jnp.ones((l, 1), dtype)
+        return 1.0 / jax.lax.dot_general(
+            p.astype(dtype), ones,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[..., 0]
+    return 1.0 / jnp.sum(p, axis=-1)
+
+
+def _rowsum(t, dtype):
+    """rowsum(t) for (G, L, L) t — MXU ones-matmul under _MXU_SUM."""
+    if _MXU_SUM:
+        g, l, _ = t.shape
+        ones = jnp.ones((l, 1), dtype)
+        return jax.lax.dot_general(
+            t.astype(dtype), ones,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[..., 0]
+    return jnp.sum(t, axis=-1)
+
 
 def _fwd_kernel_interleave(q_ref, k_ref, v_ref, o_ref, *, scale):
     """Per-head software pipeline: issue head i+1's QK^T (MXU) before head
@@ -61,48 +145,36 @@ def _fwd_kernel_interleave(q_ref, k_ref, v_ref, o_ref, *, scale):
     v = v_ref[0]
     g = q.shape[0]
 
+    mult = scale * _LOG2E if _MXU_SUM else scale
+
     def qk(i):
         return jax.lax.dot_general(
             q[i], k[i], dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale
+        ) * mult
 
     s_next = qk(0)
     for i in range(g):
         s_i = s_next
         if i + 1 < g:
             s_next = qk(i + 1)  # MXU work issued before head i's VPU passes
-        p = jnp.exp(s_i - jnp.max(s_i, axis=-1, keepdims=True))
-        r = 1.0 / jnp.sum(p, axis=-1)
-        o = jax.lax.dot_general(
-            p.astype(v.dtype), v[i],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        o_ref[0, i] = (o * r[:, None]).astype(o_ref.dtype)
+        m = jnp.max(s_i, axis=-1, keepdims=True)
+        p = jnp.exp2(s_i - m) if _MXU_SUM else jnp.exp(s_i - m)
+        o, r = _pv_and_recip_rowsum(p[None], v[i][None])
+        o_ref[0, i] = (o[0] * r[0][:, None]).astype(o_ref.dtype)
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
-    q = q_ref[0]  # (G, L, D)
-    k = k_ref[0]
-    v = v_ref[0]
-    s = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) * scale  # (G, L, L) fp32, lives in VMEM only
     # softmax with the normalization moved off the (L, L) matrix: the MXU
     # work here is only ~1.7 us/program, so every elementwise pass over the
     # 576x576 scores is on the critical (VPU) path. exp(s-max) is unavoidable,
     # but the divide is applied to the (L, D) OUTPUT via reciprocal-multiply
     # (9x fewer elements than normalizing p, and mul not div).
-    p = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))  # unnormalized
-    r = 1.0 / jnp.sum(p, axis=-1)                        # (G, L)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
+    q = q_ref[0]  # (G, L, D)
+    k = k_ref[0]
+    v = v_ref[0]
+    p = _scores(q, k, scale)  # (G, L, L) fp32, lives in VMEM only
+    o, r = _pv_and_recip_rowsum(p, v)
     o_ref[0] = (o * r[..., None]).astype(o_ref.dtype)
 
 
@@ -111,15 +183,11 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale):
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) * scale
     # Unnormalized softmax; the 1/rowsum factor is folded into (G, L, D)
     # row-scalings (dO for dV, Q for dK, the dQ output) so no (G, L, L)
     # tensor is ever divided or normalized — rationale as in _fwd_kernel.
-    p = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))  # (G, L, L) fp32
-    inv = 1.0 / jnp.sum(p, axis=-1)                      # (G, L)
+    p = _scores(q, k, scale)  # (G, L, L) fp32
+    inv = _recip_rowsum(p, q.dtype)  # (G, L)
     # Matmul operands are cast to bf16 (fp32 accumulation via
     # preferred_element_type): fp32-operand matmuls run the MXU at a
     # fraction of its bf16 rate, and this backward is 5 matmuls.
@@ -136,7 +204,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale):
         preferred_element_type=jnp.float32,
     )
     # ds = P*(dP - rowsum(dP*P)) = inv * [p * (dP - c)],  c = inv*rowsum(dP*p)
-    c = inv * jnp.sum(dp * p, axis=-1)                   # (G, L)
+    c = inv * _rowsum(dp * p, q.dtype)                   # (G, L)
     ds = (p * (dp - c[..., None])).astype(q.dtype)
     # dQ = (scale*inv) * (ds' K)   — row scaling applied to the (L, D) output
     dq = jax.lax.dot_general(
@@ -151,6 +219,78 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale):
     )
     dq_ref[0] = dq.astype(dq_ref.dtype)
     dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _rot_half(x, cos, sin):
+    """Rotate (G, L, D) by per-position angles, rotate-half channel layout.
+    cos/sin: (L, D//2) fp32. fp32 math, returns x.dtype (bit-identical to
+    ops/rope.py::apply_rope_half)."""
+    h = x.shape[-1] // 2
+    xf = x.astype(jnp.float32)
+    xe, xo = xf[..., :h], xf[..., h:]
+    return jnp.concatenate(
+        [xe * cos - xo * sin, xe * sin + xo * cos], axis=-1
+    ).astype(x.dtype)
+
+
+def _rot_half_inv(y, cos, sin):
+    """Inverse (transpose) rotation: maps d/d(rotated) to d/d(unrotated)."""
+    h = y.shape[-1] // 2
+    yf = y.astype(jnp.float32)
+    ye, yo = yf[..., :h], yf[..., h:]
+    return jnp.concatenate(
+        [ye * cos + yo * sin, yo * cos - ye * sin], axis=-1
+    ).astype(y.dtype)
+
+
+def _fwd_kernel_rope(q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *, scale):
+    """_fwd_kernel with the q/k RoPE rotation fused in (VMEM-resident)."""
+    cos, sin = cos_ref[...], sin_ref[...]
+    q = _rot_half(q_ref[0], cos, sin)  # (G, L, D)
+    k = _rot_half(k_ref[0], cos, sin)
+    v = v_ref[0]
+    p = _scores(q, k, scale)
+    o, r = _pv_and_recip_rowsum(p, v)
+    o_ref[0] = (o * r[..., None]).astype(o_ref.dtype)
+
+
+def _bwd_kernel_rope(
+    q_ref, k_ref, v_ref, cos_ref, sin_ref, do_ref, dq_ref, dk_ref, dv_ref,
+    *, scale,
+):
+    """_bwd_kernel on rotated q/k; dq/dk are inverse-rotated before the write
+    so they are gradients w.r.t. the UNROTATED inputs."""
+    cos, sin = cos_ref[...], sin_ref[...]
+    q = _rot_half(q_ref[0], cos, sin)
+    k = _rot_half(k_ref[0], cos, sin)
+    v = v_ref[0]
+    do = do_ref[0]
+    p = _scores(q, k, scale)
+    inv = _recip_rowsum(p, q.dtype)
+    pb = p.astype(q.dtype)
+    dv = jax.lax.dot_general(
+        pb, (do * inv[..., None].astype(do.dtype)),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    c = inv * _rowsum(dp * p, q.dtype)
+    ds = (p * (dp - c[..., None])).astype(q.dtype)
+    dq = jax.lax.dot_general(
+        ds, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * (scale * inv[..., None])
+    dk = jax.lax.dot_general(
+        ds, (q * (scale * inv[..., None]).astype(q.dtype)),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dq_ref[0] = _rot_half_inv(dq.astype(dq_ref.dtype), cos, sin)
+    dk_ref[0] = _rot_half_inv(dk.astype(dk_ref.dtype), cos, sin)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
@@ -191,6 +331,7 @@ def _wa_fwd(q, k, v, scale):
         in_specs=[_specs(g, l, d)] * 3,
         out_specs=_specs(g, l, d),
         compiler_params=_PARALLEL,
+        interpret=_FORCE_INTERPRET,
     )(qg, kg, vg)
     return _ungrouped(out, b, h), (q, k, v)
 
@@ -213,6 +354,7 @@ def _wa_bwd(scale, residuals, do):
         in_specs=[_specs(g, l, d)] * 4,
         out_specs=[_specs(g, l, d)] * 3,
         compiler_params=_PARALLEL,
+        interpret=_FORCE_INTERPRET,
     )(qg, kg, vg, dog)
     return (
         _ungrouped(dq, b, h),
@@ -222,3 +364,73 @@ def _wa_bwd(scale, residuals, do):
 
 
 window_attention.defvjp(_wa_fwd, _wa_bwd)
+
+
+def _rope_specs(l, d2):
+    # cos/sin (L, D//2) shared by every program: block index pinned to (0, 0)
+    return pl.BlockSpec(
+        (l, d2), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def window_attention_rope(q, k, v, scale: float, cos, sin):
+    """Fused window attention with the RoPE rotation of q/k applied INSIDE the
+    kernel. q/k: (B, H, L, D) UNROTATED, in rotate-half channel layout (see
+    ops/rope.py::rope_half_perm); cos/sin: (L, D//2) fp32 angle tables.
+    Numerics identical to ``apply_rope_half`` followed by
+    ``window_attention``."""
+    return _war_fwd(q, k, v, scale, cos, sin)[0]
+
+
+def _war_fwd(q, k, v, scale, cos, sin):
+    b, h, l, d = q.shape
+    g = HEAD_GROUP if h % HEAD_GROUP == 0 else 1
+    qg, kg, vg = _grouped(q, g), _grouped(k, g), _grouped(v, g)
+    cosf = cos.astype(jnp.float32)
+    sinf = sin.astype(jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_rope, scale=scale),
+        out_shape=jax.ShapeDtypeStruct(qg.shape, v.dtype),
+        grid=(qg.shape[0],),
+        in_specs=[_specs(g, l, d)] * 3 + [_rope_specs(l, d // 2)] * 2,
+        out_specs=_specs(g, l, d),
+        compiler_params=_PARALLEL,
+        interpret=_FORCE_INTERPRET,
+    )(qg, kg, vg, cosf, sinf)
+    return _ungrouped(out, b, h), (q, k, v, cosf, sinf)
+
+
+def _war_bwd(scale, residuals, do):
+    q, k, v, cosf, sinf = residuals
+    b, h, l, d = q.shape
+    g = HEAD_GROUP if h % HEAD_GROUP == 0 else 1
+    qg, kg, vg, dog = (
+        _grouped(q, g), _grouped(k, g), _grouped(v, g), _grouped(do, g)
+    )
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel_rope, scale=scale),
+        out_shape=[
+            jax.ShapeDtypeStruct(qg.shape, q.dtype),
+            jax.ShapeDtypeStruct(kg.shape, k.dtype),
+            jax.ShapeDtypeStruct(vg.shape, v.dtype),
+        ],
+        grid=(qg.shape[0],),
+        in_specs=[_specs(g, l, d)] * 3
+        + [_rope_specs(l, d // 2)] * 2
+        + [_specs(g, l, d)],
+        out_specs=[_specs(g, l, d)] * 3,
+        compiler_params=_PARALLEL,
+        interpret=_FORCE_INTERPRET,
+    )(qg, kg, vg, cosf, sinf, dog)
+    # cos/sin are position tables (constants) — zero grads keep the vjp total
+    return (
+        _ungrouped(dq, b, h),
+        _ungrouped(dk, b, h),
+        _ungrouped(dv, b, h),
+        jnp.zeros_like(cosf),
+        jnp.zeros_like(sinf),
+    )
+
+
+window_attention_rope.defvjp(_war_fwd, _war_bwd)

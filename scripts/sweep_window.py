@@ -52,6 +52,30 @@ def main():
     timeit(f"window attn fwd+bwd {tag}", wa_bwd, q, k, v,
            flops=attn_flops * 3.5)
 
+    # RoPE-fused variant (SAM3_WINDOW_FUSE_ROPE production gate); timed here
+    # unconditionally for side-by-side comparison. Note the flop count ignores
+    # the rotation (VPU work), so its TF/s is comparable to the plain kernel's.
+    import numpy as np
+
+    from sam3_lora_tpu.ops.rope import compute_axial_freqs
+
+    ang = compute_axial_freqs(DH, 24, 24)
+    cos = jnp.asarray(np.cos(ang))
+    sin = jnp.asarray(np.sin(ang))
+
+    timeit(f"window attn+rope fwd {tag}",
+           lambda a, b_, c: wa.window_attention_rope(a, b_, c, scale, cos, sin),
+           q, k, v, flops=attn_flops)
+
+    def war_bwd(a, b_, c):
+        f = lambda a, b_, c: jnp.sum(
+            wa.window_attention_rope(a, b_, c, scale, cos, sin).astype(
+                jnp.float32))
+        return jax.grad(f, argnums=(0, 1, 2))(a, b_, c)
+
+    timeit(f"window attn+rope fwd+bwd {tag}", war_bwd, q, k, v,
+           flops=attn_flops * 3.5)
+
 
 if __name__ == "__main__":
     main()

@@ -1,0 +1,155 @@
+"""Parity tests for the fused window-attention Pallas kernels, run off-TPU via
+the Pallas interpreter (``window_attention._FORCE_INTERPRET``).
+
+Oracle: the plain XLA attention expression (``dot_product_attention``
+impl="xla"), plus ``apply_rope_half`` for the fused-RoPE variant. Covers
+forward and dq/dk/dv for both the plain kernel and the RoPE-fused kernel
+(which must also invert the rotation on dq/dk).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sam3_lora_tpu.ops import window_attention as wa
+from sam3_lora_tpu.ops.attention import dot_product_attention
+from sam3_lora_tpu.ops.rope import apply_rope_half, compute_axial_freqs
+
+pytestmark = pytest.mark.fast
+
+
+@pytest.fixture
+def interpret_kernels(monkeypatch):
+    monkeypatch.setattr(wa, "_FORCE_INTERPRET", True)
+
+
+def _qkv(b=2, h=4, l=64, d=16, dtype=jnp.float32):
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (b, h, l, d), dtype)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (b, h, l, d), dtype)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, h, l, d), dtype)
+    return q, k, v
+
+
+def _maxerr(a, b):
+    return float(
+        jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+    )
+
+
+@pytest.mark.parametrize("dtype,tol", [(jnp.float32, 2e-5), (jnp.bfloat16, 3e-2)])
+def test_window_kernel_fwd_and_grads_match_xla(interpret_kernels, dtype, tol):
+    q, k, v = _qkv(dtype=dtype)
+    scale = q.shape[-1] ** -0.5
+
+    out_k = wa.window_attention(q, k, v, scale)
+    out_o = dot_product_attention(q, k, v, impl="xla", scale=scale)
+    assert _maxerr(out_k, out_o) < tol
+
+    c = jax.random.normal(jax.random.PRNGKey(9), out_o.shape, jnp.float32)
+
+    def loss(fn):
+        return jax.grad(
+            lambda q, k, v: jnp.sum(fn(q, k, v).astype(jnp.float32) * c),
+            argnums=(0, 1, 2),
+        )
+
+    gk = loss(lambda q, k, v: wa.window_attention(q, k, v, scale))(q, k, v)
+    go = loss(
+        lambda q, k, v: dot_product_attention(q, k, v, impl="xla", scale=scale)
+    )(q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), gk, go):
+        assert _maxerr(a, b) < tol * 10, name
+
+
+@pytest.mark.parametrize("dtype,tol", [(jnp.float32, 2e-5), (jnp.bfloat16, 3e-2)])
+def test_window_rope_kernel_matches_unfused(interpret_kernels, dtype, tol):
+    """Fused-RoPE kernel == apply_rope_half outside + plain attention."""
+    q, k, v = _qkv(l=36, d=16, dtype=dtype)  # 6x6 grid
+    scale = q.shape[-1] ** -0.5
+    angles = compute_axial_freqs(q.shape[-1], 6, 6)
+    cos = jnp.asarray(np.cos(angles))
+    sin = jnp.asarray(np.sin(angles))
+
+    def oracle(q, k, v):
+        qr = apply_rope_half(q, cos, sin)
+        kr = apply_rope_half(k, cos, sin)
+        return dot_product_attention(qr, kr, v, impl="xla", scale=scale)
+
+    out_k = wa.window_attention_rope(q, k, v, scale, cos, sin)
+    out_o = oracle(q, k, v)
+    assert _maxerr(out_k, out_o) < tol
+
+    c = jax.random.normal(jax.random.PRNGKey(9), out_o.shape, jnp.float32)
+
+    def loss(fn):
+        return jax.grad(
+            lambda q, k, v: jnp.sum(fn(q, k, v).astype(jnp.float32) * c),
+            argnums=(0, 1, 2),
+        )
+
+    gk = loss(
+        lambda q, k, v: wa.window_attention_rope(q, k, v, scale, cos, sin)
+    )(q, k, v)
+    go = loss(oracle)(q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), gk, go):
+        assert _maxerr(a, b) < tol * 10, name
+
+
+@pytest.mark.parametrize("dtype,tol", [(jnp.float32, 2e-5), (jnp.bfloat16, 3e-2)])
+def test_mxu_sum_variant_matches_oracle(
+    interpret_kernels, monkeypatch, dtype, tol
+):
+    """SAM3_WINDOW_MXU_SUM (rowsum as a ones-column of the PV matmul + exp2
+    scores) must match the XLA oracle in both kernels, fwd and grads."""
+    monkeypatch.setattr(wa, "_MXU_SUM", True)
+    q, k, v = _qkv(l=36, d=16, dtype=dtype)
+    scale = q.shape[-1] ** -0.5
+    angles = compute_axial_freqs(q.shape[-1], 6, 6)
+    cos = jnp.asarray(np.cos(angles))
+    sin = jnp.asarray(np.sin(angles))
+
+    out_k = wa.window_attention(q, k, v, scale)
+    out_o = dot_product_attention(q, k, v, impl="xla", scale=scale)
+    assert _maxerr(out_k, out_o) < tol
+
+    def rope_oracle(q, k, v):
+        qr = apply_rope_half(q, cos, sin)
+        kr = apply_rope_half(k, cos, sin)
+        return dot_product_attention(qr, kr, v, impl="xla", scale=scale)
+
+    out_kr = wa.window_attention_rope(q, k, v, scale, cos, sin)
+    assert _maxerr(out_kr, rope_oracle(q, k, v)) < tol
+
+    c = jax.random.normal(jax.random.PRNGKey(9), out_o.shape, jnp.float32)
+
+    def loss(fn):
+        return jax.grad(
+            lambda q, k, v: jnp.sum(fn(q, k, v).astype(jnp.float32) * c),
+            argnums=(0, 1, 2),
+        )
+
+    gk = loss(
+        lambda q, k, v: wa.window_attention_rope(q, k, v, scale, cos, sin)
+    )(q, k, v)
+    go = loss(rope_oracle)(q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), gk, go):
+        assert _maxerr(a, b) < tol * 10, name
+
+
+def test_rope_dispatch_cpu_fallback_applies_rotation():
+    """dot_product_attention(impl='window', rope_cos=...) off-TPU must rotate
+    q/k before falling through to XLA (the env-gated fused path must never
+    silently skip RoPE on CPU)."""
+    q, k, v = _qkv(l=36, d=16)
+    angles = compute_axial_freqs(q.shape[-1], 6, 6)
+    cos = jnp.asarray(np.cos(angles))
+    sin = jnp.asarray(np.sin(angles))
+    out = dot_product_attention(
+        q, k, v, impl="window", rope_cos=cos, rope_sin=sin
+    )
+    qr = apply_rope_half(q, cos, sin)
+    kr = apply_rope_half(k, cos, sin)
+    ref = dot_product_attention(qr, kr, v, impl="xla")
+    assert _maxerr(out, ref) < 1e-6
