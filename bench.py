@@ -30,6 +30,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_IMG_PER_S = 3.5  # estimated A100 full-config LoRA train throughput
 
 
+def _enc_remat_env() -> str:
+    v = os.environ.get("BENCH_ENC_REMAT", "1")
+    if v not in ("0", "1", "ffn"):
+        # a typo'd value silently disabling all encoder remat would OOM the
+        # v5e bench with no pointer at the cause — fail loudly instead
+        raise SystemExit(f"BENCH_ENC_REMAT must be 0|1|ffn, got {v!r}")
+    return v
+
+
 def main():
     import jax
     import numpy as np
@@ -72,8 +81,8 @@ def main():
         vit_remat_policy=os.environ.get("BENCH_REMAT", "windows_only"),
         # "1" = full layer remat (default), "0" = no remat (flash residuals
         # saved), "ffn" = remat only the FFN sub-block (attention unrematted)
-        enc_remat=os.environ.get("BENCH_ENC_REMAT", "1") == "1",
-        enc_remat_ffn=os.environ.get("BENCH_ENC_REMAT", "1") == "ffn",
+        enc_remat=_enc_remat_env() == "1",
+        enc_remat_ffn=_enc_remat_env() == "ffn",
         # measured on v5e bs8: decoder remat OFF is a pure win (config.py:62-68)
         dec_remat=os.environ.get("BENCH_DEC_REMAT", "0") == "1",
     )

@@ -98,11 +98,27 @@ def apply_rope_half(
     """RoPE in rotate-half layout: x (..., L, D) whose channels are ordered
     (all even pair-members | all odd pair-members) — see ``rope_half_perm``.
     cos/sin: (L, D//2). Contiguous half-slices only; fp32 math as in
-    ``apply_rope``."""
+    ``apply_rope``. Pure jnp — also traces inside Pallas kernels
+    (ops/window_attention.py fuses it into the window kernel)."""
     orig_dtype = x.dtype
     h = x.shape[-1] // 2
     xf = x.astype(jnp.float32)
     xe = xf[..., :h]
     xo = xf[..., h:]
     out = jnp.concatenate([xe * cos - xo * sin, xe * sin + xo * cos], axis=-1)
+    return out.astype(orig_dtype)
+
+
+def apply_rope_half_inv(
+    y: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
+) -> jnp.ndarray:
+    """Inverse (= transpose) of ``apply_rope_half``: rotates by the negated
+    angles. Maps d/d(rotated) cotangents to d/d(unrotated) — used by the
+    fused-RoPE window kernel's backward."""
+    orig_dtype = y.dtype
+    h = y.shape[-1] // 2
+    yf = y.astype(jnp.float32)
+    ye = yf[..., :h]
+    yo = yf[..., h:]
+    out = jnp.concatenate([ye * cos + yo * sin, yo * cos - ye * sin], axis=-1)
     return out.astype(orig_dtype)

@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .rope import apply_rope_half, apply_rope_half_inv
+
 import os
 
 def _head_group_from_env() -> int:
@@ -222,33 +224,12 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale):
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _rot_half(x, cos, sin):
-    """Rotate (G, L, D) by per-position angles, rotate-half channel layout.
-    cos/sin: (L, D//2) fp32. fp32 math, returns x.dtype (bit-identical to
-    ops/rope.py::apply_rope_half)."""
-    h = x.shape[-1] // 2
-    xf = x.astype(jnp.float32)
-    xe, xo = xf[..., :h], xf[..., h:]
-    return jnp.concatenate(
-        [xe * cos - xo * sin, xe * sin + xo * cos], axis=-1
-    ).astype(x.dtype)
-
-
-def _rot_half_inv(y, cos, sin):
-    """Inverse (transpose) rotation: maps d/d(rotated) to d/d(unrotated)."""
-    h = y.shape[-1] // 2
-    yf = y.astype(jnp.float32)
-    ye, yo = yf[..., :h], yf[..., h:]
-    return jnp.concatenate(
-        [ye * cos + yo * sin, yo * cos - ye * sin], axis=-1
-    ).astype(y.dtype)
-
-
 def _fwd_kernel_rope(q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *, scale):
-    """_fwd_kernel with the q/k RoPE rotation fused in (VMEM-resident)."""
+    """_fwd_kernel with the q/k RoPE rotation fused in (VMEM-resident).
+    Rotation = ops/rope.py::apply_rope_half (pure jnp — traces in-kernel)."""
     cos, sin = cos_ref[...], sin_ref[...]
-    q = _rot_half(q_ref[0], cos, sin)  # (G, L, D)
-    k = _rot_half(k_ref[0], cos, sin)
+    q = apply_rope_half(q_ref[0], cos, sin)  # (G, L, D)
+    k = apply_rope_half(k_ref[0], cos, sin)
     v = v_ref[0]
     p = _scores(q, k, scale)
     o, r = _pv_and_recip_rowsum(p, v)
@@ -256,14 +237,14 @@ def _fwd_kernel_rope(q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *, scale):
 
 
 def _bwd_kernel_rope(
-    q_ref, k_ref, v_ref, cos_ref, sin_ref, do_ref, dq_ref, dk_ref, dv_ref,
+    q_ref, k_ref, v_ref, do_ref, cos_ref, sin_ref, dq_ref, dk_ref, dv_ref,
     *, scale,
 ):
     """_bwd_kernel on rotated q/k; dq/dk are inverse-rotated before the write
     so they are gradients w.r.t. the UNROTATED inputs."""
     cos, sin = cos_ref[...], sin_ref[...]
-    q = _rot_half(q_ref[0], cos, sin)
-    k = _rot_half(k_ref[0], cos, sin)
+    q = apply_rope_half(q_ref[0], cos, sin)
+    k = apply_rope_half(k_ref[0], cos, sin)
     v = v_ref[0]
     do = do_ref[0]
     p = _scores(q, k, scale)
@@ -289,9 +270,14 @@ def _bwd_kernel_rope(
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    dq_ref[0] = _rot_half_inv(dq.astype(dq_ref.dtype), cos, sin)
-    dk_ref[0] = _rot_half_inv(dk.astype(dk_ref.dtype), cos, sin)
+    dq_ref[0] = apply_rope_half_inv(dq.astype(dq_ref.dtype), cos, sin)
+    dk_ref[0] = apply_rope_half_inv(dk.astype(dk_ref.dtype), cos, sin)
     dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _group(h: int) -> int:
+    """Heads per program, falling back to 1 when h is not divisible."""
+    return HEAD_GROUP if h % HEAD_GROUP == 0 else 1
 
 
 def _grouped(x, g):
@@ -308,9 +294,44 @@ def _specs(g, l, d):
     return pl.BlockSpec((1, g, l, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
 
 
+def _rope_specs(l, d2):
+    # cos/sin (L, D//2) shared by every program: block index pinned to (0, 0)
+    return pl.BlockSpec(
+        (l, d2), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+
+
 # Grid iterations are independent — telling Mosaic lets it overlap the next
 # iteration's DMA with this iteration's compute far more aggressively.
 _PARALLEL = pltpu.CompilerParams(dimension_semantics=("parallel",))
+
+
+def _window_pallas(kernel, scale, tensors, tables, n_outputs):
+    """Shared pallas_call boilerplate for every window kernel: head-grouped
+    (B, H, L, D) ``tensors`` become one program per (window-batch,
+    head-group); fp32 ``tables`` (RoPE cos/sin, (L, D//2)) broadcast to all
+    programs. Returns ungrouped (B, H, L, D) output(s)."""
+    b, h, l, d = tensors[0].shape
+    g = _group(h)
+    grouped = [_grouped(t, g) for t in tensors]
+    out_shape = [
+        jax.ShapeDtypeStruct(grouped[0].shape, t.dtype)
+        for t in tensors[:n_outputs]
+    ]
+    out_specs = [_specs(g, l, d)] * n_outputs
+    out = pl.pallas_call(
+        functools.partial(kernel, scale=scale),
+        out_shape=out_shape if n_outputs > 1 else out_shape[0],
+        grid=(grouped[0].shape[0],),
+        in_specs=[_specs(g, l, d)] * len(tensors)
+        + [_rope_specs(l, d // 2)] * len(tables),
+        out_specs=out_specs if n_outputs > 1 else out_specs[0],
+        compiler_params=_PARALLEL,
+        interpret=_FORCE_INTERPRET,
+    )(*grouped, *[t.astype(jnp.float32) for t in tables])
+    if n_outputs == 1:
+        return _ungrouped(out, b, h)
+    return tuple(_ungrouped(o, b, h) for o in out)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -320,117 +341,43 @@ def window_attention(q, k, v, scale: float):
 
 
 def _wa_fwd(q, k, v, scale):
-    b, h, l, d = q.shape
-    g = HEAD_GROUP if h % HEAD_GROUP == 0 else 1
-    qg, kg, vg = _grouped(q, g), _grouped(k, g), _grouped(v, g)
     fwd = _fwd_kernel_interleave if _INTERLEAVE else _fwd_kernel
-    out = pl.pallas_call(
-        functools.partial(fwd, scale=scale),
-        out_shape=jax.ShapeDtypeStruct(qg.shape, v.dtype),
-        grid=(qg.shape[0],),
-        in_specs=[_specs(g, l, d)] * 3,
-        out_specs=_specs(g, l, d),
-        compiler_params=_PARALLEL,
-        interpret=_FORCE_INTERPRET,
-    )(qg, kg, vg)
-    return _ungrouped(out, b, h), (q, k, v)
+    out = _window_pallas(fwd, scale, (q, k, v), (), 1)
+    return out, (q, k, v)
 
 
 def _wa_bwd(scale, residuals, do):
     q, k, v = residuals
-    b, h, l, d = q.shape
-    g = HEAD_GROUP if h % HEAD_GROUP == 0 else 1
-    qg, kg, vg, dog = (
-        _grouped(q, g), _grouped(k, g), _grouped(v, g), _grouped(do, g)
-    )
-    dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale),
-        out_shape=[
-            jax.ShapeDtypeStruct(qg.shape, q.dtype),
-            jax.ShapeDtypeStruct(kg.shape, k.dtype),
-            jax.ShapeDtypeStruct(vg.shape, v.dtype),
-        ],
-        grid=(qg.shape[0],),
-        in_specs=[_specs(g, l, d)] * 4,
-        out_specs=[_specs(g, l, d)] * 3,
-        compiler_params=_PARALLEL,
-        interpret=_FORCE_INTERPRET,
-    )(qg, kg, vg, dog)
-    return (
-        _ungrouped(dq, b, h),
-        _ungrouped(dk, b, h),
-        _ungrouped(dv, b, h),
-    )
+    return _window_pallas(_bwd_kernel, scale, (q, k, v, do), (), 3)
 
 
 window_attention.defvjp(_wa_fwd, _wa_bwd)
-
-
-def _rope_specs(l, d2):
-    # cos/sin (L, D//2) shared by every program: block index pinned to (0, 0)
-    return pl.BlockSpec(
-        (l, d2), lambda i: (0, 0), memory_space=pltpu.VMEM
-    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def window_attention_rope(q, k, v, scale: float, cos, sin):
     """Fused window attention with the RoPE rotation of q/k applied INSIDE the
     kernel. q/k: (B, H, L, D) UNROTATED, in rotate-half channel layout (see
-    ops/rope.py::rope_half_perm); cos/sin: (L, D//2) fp32 angle tables.
-    Numerics identical to ``apply_rope_half`` followed by
-    ``window_attention``."""
+    ops/rope.py::rope_half_perm); cos/sin: (L, D//2) angle tables (any float
+    dtype; rotated in fp32 in-kernel). Numerics identical to
+    ``apply_rope_half`` followed by ``window_attention``. NOTE: the
+    SAM3_WINDOW_INTERLEAVE experiment has no fused-RoPE variant — this path
+    always runs the batched (non-interleaved) kernel."""
     return _war_fwd(q, k, v, scale, cos, sin)[0]
 
 
 def _war_fwd(q, k, v, scale, cos, sin):
-    b, h, l, d = q.shape
-    g = HEAD_GROUP if h % HEAD_GROUP == 0 else 1
-    qg, kg, vg = _grouped(q, g), _grouped(k, g), _grouped(v, g)
-    cosf = cos.astype(jnp.float32)
-    sinf = sin.astype(jnp.float32)
-    out = pl.pallas_call(
-        functools.partial(_fwd_kernel_rope, scale=scale),
-        out_shape=jax.ShapeDtypeStruct(qg.shape, v.dtype),
-        grid=(qg.shape[0],),
-        in_specs=[_specs(g, l, d)] * 3 + [_rope_specs(l, d // 2)] * 2,
-        out_specs=_specs(g, l, d),
-        compiler_params=_PARALLEL,
-        interpret=_FORCE_INTERPRET,
-    )(qg, kg, vg, cosf, sinf)
-    return _ungrouped(out, b, h), (q, k, v, cosf, sinf)
+    out = _window_pallas(_fwd_kernel_rope, scale, (q, k, v), (cos, sin), 1)
+    return out, (q, k, v, cos, sin)
 
 
 def _war_bwd(scale, residuals, do):
-    q, k, v, cosf, sinf = residuals
-    b, h, l, d = q.shape
-    g = HEAD_GROUP if h % HEAD_GROUP == 0 else 1
-    qg, kg, vg, dog = (
-        _grouped(q, g), _grouped(k, g), _grouped(v, g), _grouped(do, g)
+    q, k, v, cos, sin = residuals
+    dq, dk, dv = _window_pallas(
+        _bwd_kernel_rope, scale, (q, k, v, do), (cos, sin), 3
     )
-    dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel_rope, scale=scale),
-        out_shape=[
-            jax.ShapeDtypeStruct(qg.shape, q.dtype),
-            jax.ShapeDtypeStruct(kg.shape, k.dtype),
-            jax.ShapeDtypeStruct(vg.shape, v.dtype),
-        ],
-        grid=(qg.shape[0],),
-        in_specs=[_specs(g, l, d)] * 3
-        + [_rope_specs(l, d // 2)] * 2
-        + [_specs(g, l, d)],
-        out_specs=[_specs(g, l, d)] * 3,
-        compiler_params=_PARALLEL,
-        interpret=_FORCE_INTERPRET,
-    )(qg, kg, vg, cosf, sinf, dog)
     # cos/sin are position tables (constants) — zero grads keep the vjp total
-    return (
-        _ungrouped(dq, b, h),
-        _ungrouped(dk, b, h),
-        _ungrouped(dv, b, h),
-        jnp.zeros_like(cosf),
-        jnp.zeros_like(sinf),
-    )
+    return dq, dk, dv, jnp.zeros_like(cos), jnp.zeros_like(sin)
 
 
 window_attention_rope.defvjp(_war_fwd, _war_bwd)

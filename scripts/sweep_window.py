@@ -32,7 +32,9 @@ def main():
     WB, HD, L, DH = B * 9, 16, 576, 64
     # the kernel falls back to g=1 when the head count is not divisible
     g = wa.HEAD_GROUP if HD % wa.HEAD_GROUP == 0 else 1
-    tag = f"[g={g} il={int(wa._INTERLEAVE)}]"
+    tag = f"[g={g} il={int(wa._INTERLEAVE)} ms={int(wa._MXU_SUM)}]"
+    # the fused-RoPE kernel has no interleave variant — never tag it with il
+    rope_tag = f"[g={g} ms={int(wa._MXU_SUM)}]"
     key = jax.random.PRNGKey(0)
     q = jax.random.normal(key, (WB, HD, L, DH), jnp.bfloat16)
     k = jax.random.normal(key, (WB, HD, L, DH), jnp.bfloat16)
@@ -63,7 +65,7 @@ def main():
     cos = jnp.asarray(np.cos(ang))
     sin = jnp.asarray(np.sin(ang))
 
-    timeit(f"window attn+rope fwd {tag}",
+    timeit(f"window attn+rope fwd {rope_tag}",
            lambda a, b_, c: wa.window_attention_rope(a, b_, c, scale, cos, sin),
            q, k, v, flops=attn_flops)
 
@@ -73,7 +75,7 @@ def main():
                 jnp.float32))
         return jax.grad(f, argnums=(0, 1, 2))(a, b_, c)
 
-    timeit(f"window attn+rope fwd+bwd {tag}", war_bwd, q, k, v,
+    timeit(f"window attn+rope fwd+bwd {rope_tag}", war_bwd, q, k, v,
            flops=attn_flops * 3.5)
 
 

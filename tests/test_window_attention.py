@@ -137,6 +137,32 @@ def test_mxu_sum_variant_matches_oracle(
     for name, a, b in zip(("dq", "dk", "dv"), gk, go):
         assert _maxerr(a, b) < tol * 10, name
 
+    # the PLAIN kernel's backward must also hold under _MXU_SUM
+    gkp = loss(lambda q, k, v: wa.window_attention(q, k, v, scale))(q, k, v)
+    gop = loss(
+        lambda q, k, v: dot_product_attention(q, k, v, impl="xla", scale=scale)
+    )(q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), gkp, gop):
+        assert _maxerr(a, b) < tol * 10, name
+
+
+def test_window_rope_kernel_accepts_bf16_tables(interpret_kernels):
+    """grad through window_attention_rope with non-fp32 cos/sin tables must
+    not crash (the vjp's zero cotangents must match the primal dtypes)."""
+    q, k, v = _qkv(l=36, d=16, dtype=jnp.bfloat16)
+    scale = q.shape[-1] ** -0.5
+    angles = compute_axial_freqs(q.shape[-1], 6, 6)
+    cos = jnp.asarray(np.cos(angles), jnp.bfloat16)
+    sin = jnp.asarray(np.sin(angles), jnp.bfloat16)
+    g = jax.grad(
+        lambda q: jnp.sum(
+            wa.window_attention_rope(q, k, v, scale, cos, sin).astype(
+                jnp.float32
+            )
+        )
+    )(q)
+    assert np.isfinite(np.asarray(g, np.float32)).all()
+
 
 def test_rope_dispatch_cpu_fallback_applies_rotation():
     """dot_product_attention(impl='window', rope_cos=...) off-TPU must rotate
