@@ -236,6 +236,38 @@ def _fwd_kernel_rope(q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *, scale):
     o_ref[0] = (o * r[..., None]).astype(o_ref.dtype)
 
 
+def _fwd_kernel_rope_interleave(
+    q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *, scale
+):
+    """Fused-RoPE forward with the per-head MXU/VPU software pipeline of
+    _fwd_kernel_interleave (head i+1's rotation + QK^T issued before head
+    i's softmax passes)."""
+    cos, sin = cos_ref[...], sin_ref[...]
+    q = q_ref[0]  # (G, L, D) unrotated
+    k = k_ref[0]
+    v = v_ref[0]
+    g = q.shape[0]
+    mult = scale * _LOG2E if _MXU_SUM else scale
+
+    def qk(i):
+        return jax.lax.dot_general(
+            apply_rope_half(q[i], cos, sin),
+            apply_rope_half(k[i], cos, sin),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * mult
+
+    s_next = qk(0)
+    for i in range(g):
+        s_i = s_next
+        if i + 1 < g:
+            s_next = qk(i + 1)
+        m = jnp.max(s_i, axis=-1, keepdims=True)
+        p = jnp.exp2(s_i - m) if _MXU_SUM else jnp.exp(s_i - m)
+        o, r = _pv_and_recip_rowsum(p[None], v[i][None])
+        o_ref[0, i] = (o[0] * r[0][:, None]).astype(o_ref.dtype)
+
+
 def _bwd_kernel_rope(
     q_ref, k_ref, v_ref, do_ref, cos_ref, sin_ref, dq_ref, dk_ref, dv_ref,
     *, scale,
@@ -360,14 +392,15 @@ def window_attention_rope(q, k, v, scale: float, cos, sin):
     kernel. q/k: (B, H, L, D) UNROTATED, in rotate-half channel layout (see
     ops/rope.py::rope_half_perm); cos/sin: (L, D//2) angle tables (any float
     dtype; rotated in fp32 in-kernel). Numerics identical to
-    ``apply_rope_half`` followed by ``window_attention``. NOTE: the
-    SAM3_WINDOW_INTERLEAVE experiment has no fused-RoPE variant — this path
-    always runs the batched (non-interleaved) kernel."""
+    ``apply_rope_half`` followed by ``window_attention``. Composes with the
+    SAM3_WINDOW_INTERLEAVE forward pipeline (backward has no interleave
+    variant in either path)."""
     return _war_fwd(q, k, v, scale, cos, sin)[0]
 
 
 def _war_fwd(q, k, v, scale, cos, sin):
-    out = _window_pallas(_fwd_kernel_rope, scale, (q, k, v), (cos, sin), 1)
+    fwd = _fwd_kernel_rope_interleave if _INTERLEAVE else _fwd_kernel_rope
+    out = _window_pallas(fwd, scale, (q, k, v), (cos, sin), 1)
     return out, (q, k, v, cos, sin)
 
 

@@ -33,8 +33,9 @@ def main():
     # the kernel falls back to g=1 when the head count is not divisible
     g = wa.HEAD_GROUP if HD % wa.HEAD_GROUP == 0 else 1
     tag = f"[g={g} il={int(wa._INTERLEAVE)} ms={int(wa._MXU_SUM)}]"
-    # the fused-RoPE kernel has no interleave variant — never tag it with il
-    rope_tag = f"[g={g} ms={int(wa._MXU_SUM)}]"
+    # rope rows: the fused-RoPE fwd honors il (kernel_rope_interleave);
+    # its bwd (like the plain bwd) has no interleave variant
+    rope_tag = tag
     key = jax.random.PRNGKey(0)
     q = jax.random.normal(key, (WB, HD, L, DH), jnp.bfloat16)
     k = jax.random.normal(key, (WB, HD, L, DH), jnp.bfloat16)

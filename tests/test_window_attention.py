@@ -146,6 +146,25 @@ def test_mxu_sum_variant_matches_oracle(
         assert _maxerr(a, b) < tol * 10, name
 
 
+@pytest.mark.parametrize("mxu_sum", [False, True])
+def test_rope_interleave_fwd_matches_unfused(
+    interpret_kernels, monkeypatch, mxu_sum
+):
+    """SAM3_WINDOW_INTERLEAVE composes with the fused-RoPE forward."""
+    monkeypatch.setattr(wa, "_INTERLEAVE", True)
+    monkeypatch.setattr(wa, "_MXU_SUM", mxu_sum)
+    q, k, v = _qkv(l=36, d=16)
+    scale = q.shape[-1] ** -0.5
+    angles = compute_axial_freqs(q.shape[-1], 6, 6)
+    cos = jnp.asarray(np.cos(angles))
+    sin = jnp.asarray(np.sin(angles))
+    out = wa.window_attention_rope(q, k, v, scale, cos, sin)
+    qr = apply_rope_half(q, cos, sin)
+    kr = apply_rope_half(k, cos, sin)
+    ref = dot_product_attention(qr, kr, v, impl="xla", scale=scale)
+    assert _maxerr(out, ref) < 2e-5
+
+
 def test_window_rope_kernel_accepts_bf16_tables(interpret_kernels):
     """grad through window_attention_rope with non-fp32 cos/sin tables must
     not crash (the vjp's zero cotangents must match the primal dtypes)."""
