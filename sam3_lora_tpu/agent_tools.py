@@ -30,6 +30,7 @@ Protocol invariants preserved from the reference:
 from __future__ import annotations
 
 import json
+import os
 import re
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, List, Optional
@@ -37,6 +38,7 @@ from typing import Any, Callable, Dict, List, Optional
 import numpy as np
 
 __all__ = [
+    "load_system_prompt",
     "AGENT_SYSTEM_PROMPT",
     "MASK_CHECK_SYSTEM_PROMPT",
     "ToolCall",
@@ -46,9 +48,22 @@ __all__ = [
 ]
 
 
-# The reference ships a ~66 KB prompt corpus (system_prompts/*.txt). The
-# corpus below restates the same behavioural contract in compact form; swap
-# in a custom corpus via the ``system_prompt=`` argument for production runs.
+def load_system_prompt(name: str) -> str:
+    """Load a prompt from the corpus (``assets/agent_prompts/<name>.txt``,
+    the analogue of the reference's ``sam3/agent/system_prompts/``). Raises
+    FileNotFoundError for unknown names."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "assets", "agent_prompts", f"{name}.txt",
+    )
+    with open(path, "r") as f:
+        return f.read()
+
+
+# The reference ships a ~66 KB prompt corpus (system_prompts/*.txt); ours
+# lives in assets/agent_prompts/ (load_system_prompt). The compact fallback
+# below states the same behavioural contract and keeps the module
+# self-contained; production runs use the corpus (or pass system_prompt=).
 AGENT_SYSTEM_PROMPT = """\
 You are a visual grounding assistant that controls a promptable segmentation
 model through tools. The user gives a referring expression or a question

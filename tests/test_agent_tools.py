@@ -126,6 +126,38 @@ def test_first_call_must_ground(proc, img):
         tool_agent_inference(proc, img, "q", llm)
 
 
+def test_prompt_corpus_loads_and_drives_the_loop(proc, img):
+    """The corpus (assets/agent_prompts/, the reference system_prompts/
+    analogue) must load, document every tool, and be usable as the live
+    system prompt."""
+    from sam3_lora_tpu.agent_tools import load_system_prompt
+
+    agent = load_system_prompt("grounding_agent")
+    for tool in (
+        "segment_phrase",
+        "examine_each_mask",
+        "select_masks_and_return",
+        "report_no_mask",
+    ):
+        assert tool in agent
+    check = load_system_prompt("mask_check")
+    assert "<verdict>Accept</verdict>" in check
+    with pytest.raises(FileNotFoundError):
+        load_system_prompt("nonsense")
+
+    llm = ScriptedLLM(
+        [
+            _tool("segment_phrase", text_prompt="object"),
+            _tool("select_masks_and_return", final_answer_masks=[1]),
+        ]
+    )
+    res = tool_agent_inference(
+        proc, img, "q", llm, threshold=-10.0, system_prompt=agent,
+        check_system_prompt=check,
+    )
+    assert not res.no_mask
+
+
 def test_budget_exhaustion_returns_current(proc, img):
     llm = ScriptedLLM(
         [
