@@ -1,61 +1,55 @@
 #!/bin/bash
-# Queued TPU experiments: runs when the tunnel recovers, logs to /tmp/tpu_exp.log.
+# Queued TPU experiments, PRIORITIZED for a late tunnel recovery: step-level
+# benches that decide the round's default config run first; diagnostics and
+# secondary benches follow. Logs to /tmp/tpu_exp.log.
 cd /root/repo
 log=/tmp/tpu_exp.log
-echo "=== $(date) waiting for TPU ===" >> $log
+echo "=== $(date) waiting for TPU (prioritized queue v2) ===" >> $log
 while true; do
   if timeout 120 python -c "import jax; assert jax.devices()[0].platform not in ('cpu','gpu')" 2>/dev/null; then
     echo "TPU UP at $(date)" >> $log; break
   fi
   sleep 60
 done
-echo "=== window-kernel sweep (head group x interleave) ===" >> $log
-for g in 1 2 4; do
-  for il in 0 1; do
-    SAM3_WINDOW_HEAD_GROUP=$g SAM3_WINDOW_INTERLEAVE=$il timeout 900 python scripts/sweep_window.py >> $log 2>&1
+
+run() {  # run <label> <timeout> <cmd...>
+  echo "=== $(date) $1 ===" >> $log
+  shift
+  t=$1; shift
+  timeout "$t" "$@" >> $log 2>&1
+  echo "--- rc=$? $(date) ---" >> $log
+}
+
+# --- tier 1: default-config decision benches (one flag delta each) ---
+run "bench DEFAULT (bf16-bwd kernel + prequant int8 + windows_only)" 1800 python bench.py
+run "bench FUSE_ROPE" 1800 env SAM3_WINDOW_FUSE_ROPE=1 python bench.py
+run "bench MXU_SUM" 1800 env SAM3_WINDOW_MXU_SUM=1 python bench.py
+run "bench WO_BLOCK_MID" 1800 env BENCH_REMAT=wo_block_mid python bench.py
+run "bench ENC_REMAT_FFN" 1800 env BENCH_ENC_REMAT=ffn python bench.py
+run "bench COMBO (rope+mxu+womid+ffn)" 2400 env SAM3_WINDOW_FUSE_ROPE=1 SAM3_WINDOW_MXU_SUM=1 BENCH_REMAT=wo_block_mid BENCH_ENC_REMAT=ffn python bench.py
+run "bench COMBO bs12" 2400 env SAM3_WINDOW_FUSE_ROPE=1 SAM3_WINDOW_MXU_SUM=1 BENCH_REMAT=wo_block_mid BENCH_ENC_REMAT=ffn BENCH_BATCH=12 python bench.py
+echo "=== TIER1 DONE $(date) ===" >> $log
+
+# --- tier 2: kernel-level sweeps (attribution/diagnostics) ---
+for ms in 0 1; do
+  for g in 2 4; do
+    for il in 0 1; do
+      run "sweep g=$g il=$il ms=$ms" 900 env SAM3_WINDOW_HEAD_GROUP=$g SAM3_WINDOW_INTERLEAVE=$il SAM3_WINDOW_MXU_SUM=$ms python scripts/sweep_window.py
+    done
   done
 done
-echo "=== microbench (full op-level) ===" >> $log
-timeout 1800 python scripts/microbench.py >> $log 2>&1
-echo "=== bench default (int8-prequant + windows_only + bf16-bwd kernel) ===" >> $log
-timeout 1800 python bench.py >> $log 2>&1
-echo "=== bench wo_block_mid ===" >> $log
-BENCH_REMAT=wo_block_mid timeout 1800 python bench.py >> $log 2>&1
-echo "=== bench bs12 retry (prequant freed HBM) ===" >> $log
-BENCH_BATCH=12 timeout 1800 python bench.py >> $log 2>&1
-echo "=== bench real data ===" >> $log
-BENCH_DATA=real timeout 2400 python bench.py >> $log 2>&1
+run "sweep g=1 baseline" 900 env SAM3_WINDOW_HEAD_GROUP=1 python scripts/sweep_window.py
+run "sweep rope-fused g=2 ms=1 il=1" 900 env SAM3_WINDOW_FUSE_ROPE=1 SAM3_WINDOW_MXU_SUM=1 SAM3_WINDOW_INTERLEAVE=1 python scripts/sweep_window.py
+echo "=== TIER2 DONE $(date) ===" >> $log
+
+# --- tier 3: secondary step benches ---
+run "bench INT8_BWD" 1800 env BENCH_QUANT=int8_bwd python bench.py
+run "bench ENC_REMAT_OFF retry (prequant freed HBM)" 1800 env BENCH_ENC_REMAT=0 python bench.py
+run "bench bs12 plain" 1800 env BENCH_BATCH=12 python bench.py
+run "bench REAL DATA pipeline" 2400 env BENCH_DATA=real python bench.py
+echo "=== TIER3 DONE $(date) ===" >> $log
+
+# --- tier 4: microbench + serving ---
+run "microbench full" 1800 python scripts/microbench.py
+run "infer/serving bench bf16+int8" 2400 env INFER_BATCH=1,4,8 python scripts/bench_infer.py
 echo "=== ALL DONE $(date) ===" >> $log
-echo "=== bench int8_bwd (dx GEMM on int8 MXU path) ===" >> $log
-BENCH_QUANT=int8_bwd timeout 1800 python bench.py >> $log 2>&1
-echo "=== bench enc remat off retry (prequant freed ~0.85G) ===" >> $log
-BENCH_ENC_REMAT=0 timeout 1800 python bench.py >> $log 2>&1
-echo "=== EXTENDED DONE $(date) ===" >> $log
-echo "=== inference/serving bench (bf16 + int8, bs 1/4/8) ===" >> $log
-INFER_BATCH=1,4,8 timeout 2400 python scripts/bench_infer.py >> $log 2>&1
-echo "=== INFER DONE $(date) ===" >> $log
-echo "=== bench fuse_rope (RoPE rotation fused into window kernel) ===" >> $log
-SAM3_WINDOW_FUSE_ROPE=1 timeout 1800 python bench.py >> $log 2>&1
-echo "=== bench fuse_rope + wo_block_mid ===" >> $log
-SAM3_WINDOW_FUSE_ROPE=1 BENCH_REMAT=wo_block_mid timeout 1800 python bench.py >> $log 2>&1
-echo "=== FUSE_ROPE DONE $(date) ===" >> $log
-echo "=== bench enc remat FFN-only (attention unrematted, FFN hidden freed) ===" >> $log
-BENCH_ENC_REMAT=ffn timeout 1800 python bench.py >> $log 2>&1
-echo "=== ENC_FFN DONE $(date) ===" >> $log
-echo "=== bench COMBO fuse_rope + wo_block_mid + enc ffn remat ===" >> $log
-SAM3_WINDOW_FUSE_ROPE=1 BENCH_REMAT=wo_block_mid BENCH_ENC_REMAT=ffn timeout 1800 python bench.py >> $log 2>&1
-echo "=== bench COMBO + bs12 ===" >> $log
-SAM3_WINDOW_FUSE_ROPE=1 BENCH_REMAT=wo_block_mid BENCH_ENC_REMAT=ffn BENCH_BATCH=12 timeout 1800 python bench.py >> $log 2>&1
-echo "=== COMBO DONE $(date) ===" >> $log
-echo "=== sweep MXU_SUM kernel variants ===" >> $log
-SAM3_WINDOW_MXU_SUM=1 timeout 900 python scripts/sweep_window.py >> $log 2>&1
-SAM3_WINDOW_MXU_SUM=1 SAM3_WINDOW_FUSE_ROPE=1 timeout 900 python scripts/sweep_window.py >> $log 2>&1
-SAM3_WINDOW_MXU_SUM=1 SAM3_WINDOW_INTERLEAVE=1 timeout 900 python scripts/sweep_window.py >> $log 2>&1
-echo "=== bench MXU_SUM ===" >> $log
-SAM3_WINDOW_MXU_SUM=1 timeout 1800 python bench.py >> $log 2>&1
-echo "=== bench MXU_SUM + fuse_rope ===" >> $log
-SAM3_WINDOW_MXU_SUM=1 SAM3_WINDOW_FUSE_ROPE=1 timeout 1800 python bench.py >> $log 2>&1
-echo "=== MXU_SUM DONE $(date) ===" >> $log
-echo "=== sweep MXU_SUM g=4 ===" >> $log
-SAM3_WINDOW_MXU_SUM=1 SAM3_WINDOW_HEAD_GROUP=4 timeout 900 python scripts/sweep_window.py >> $log 2>&1
-echo "=== SWEEP2 DONE $(date) ===" >> $log
