@@ -69,10 +69,29 @@ FUSE_ROPE = os.environ.get("SAM3_WINDOW_FUSE_ROPE", "1") == "1"
 # Env-gated experiment (SAM3_WINDOW_MXU_SUM=1).
 _MXU_SUM = os.environ.get("SAM3_WINDOW_MXU_SUM", "0") == "1"
 
+# Skip the softmax max-subtraction (p = exp(s) directly): removes a full
+# (L, L) VPU max-reduction pass plus the subtract pass from every program of
+# a VPU-bound kernel. Numerically safe only while |scale*QK^T| stays well
+# below exp's fp32 overflow (~88, or ~127 under _MXU_SUM's exp2): holds for
+# LN-bounded ViT activations (measured |s| < 30 at trained SAM3 weights) but
+# NOT guaranteed for arbitrary inputs, so this is an env-gated experiment
+# (SAM3_WINDOW_NO_MAX=1), default OFF.
+_NO_MAX = os.environ.get("SAM3_WINDOW_NO_MAX", "0") == "1"
+
 _LOG2E = 1.4426950408889634
 
 # Tests set this to run the kernels off-TPU via the Pallas interpreter.
 _FORCE_INTERPRET = False
+
+
+def _exp_shifted(s):
+    """exp(s - rowmax(s)) on the VPU; under _MXU_SUM the caller has folded
+    log2(e) into s so this is a bare exp2; under _NO_MAX the max-reduction
+    and subtract passes are skipped entirely (see flag comment)."""
+    if _NO_MAX:
+        return jnp.exp2(s) if _MXU_SUM else jnp.exp(s)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    return jnp.exp2(s - m) if _MXU_SUM else jnp.exp(s - m)
 
 
 def _scores(q, k, scale):
@@ -85,8 +104,7 @@ def _scores(q, k, scale):
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ) * mult
-    m = jnp.max(s, axis=-1, keepdims=True)
-    return jnp.exp2(s - m) if _MXU_SUM else jnp.exp(s - m)
+    return _exp_shifted(s)
 
 
 def _pv_and_recip_rowsum(p, v):
@@ -162,8 +180,7 @@ def _fwd_kernel_interleave(q_ref, k_ref, v_ref, o_ref, *, scale):
         s_i = s_next
         if i + 1 < g:
             s_next = qk(i + 1)  # MXU work issued before head i's VPU passes
-        m = jnp.max(s_i, axis=-1, keepdims=True)
-        p = jnp.exp2(s_i - m) if _MXU_SUM else jnp.exp(s_i - m)
+        p = _exp_shifted(s_i)
         o, r = _pv_and_recip_rowsum(p[None], v[i][None])
         o_ref[0, i] = (o[0] * r[0][:, None]).astype(o_ref.dtype)
 
@@ -264,8 +281,7 @@ def _fwd_kernel_rope_interleave(
         s_i = s_next
         if i + 1 < g:
             s_next = qk(i + 1)
-        m = jnp.max(s_i, axis=-1, keepdims=True)
-        p = jnp.exp2(s_i - m) if _MXU_SUM else jnp.exp(s_i - m)
+        p = _exp_shifted(s_i)
         o, r = _pv_and_recip_rowsum(p[None], v[i][None])
         o_ref[0, i] = (o[0] * r[0][:, None]).astype(o_ref.dtype)
 

@@ -147,6 +147,48 @@ def test_mxu_sum_variant_matches_oracle(
 
 
 @pytest.mark.parametrize("mxu_sum", [False, True])
+def test_no_max_variant_matches_oracle(interpret_kernels, monkeypatch, mxu_sum):
+    """SAM3_WINDOW_NO_MAX (skip the softmax max-subtraction) must be exact for
+    bounded logits — fwd and grads, plain and RoPE-fused kernels, with and
+    without _MXU_SUM's exp2 path."""
+    monkeypatch.setattr(wa, "_NO_MAX", True)
+    monkeypatch.setattr(wa, "_MXU_SUM", mxu_sum)
+    q, k, v = _qkv(l=36, d=16)
+    scale = q.shape[-1] ** -0.5
+    angles = compute_axial_freqs(q.shape[-1], 6, 6)
+    cos = jnp.asarray(np.cos(angles))
+    sin = jnp.asarray(np.sin(angles))
+
+    out_k = wa.window_attention(q, k, v, scale)
+    out_o = dot_product_attention(q, k, v, impl="xla", scale=scale)
+    assert _maxerr(out_k, out_o) < 2e-5
+
+    def rope_oracle(q, k, v):
+        qr = apply_rope_half(q, cos, sin)
+        kr = apply_rope_half(k, cos, sin)
+        return dot_product_attention(qr, kr, v, impl="xla", scale=scale)
+
+    assert _maxerr(
+        wa.window_attention_rope(q, k, v, scale, cos, sin), rope_oracle(q, k, v)
+    ) < 2e-5
+
+    c = jax.random.normal(jax.random.PRNGKey(9), out_o.shape, jnp.float32)
+
+    def loss(fn):
+        return jax.grad(
+            lambda q, k, v: jnp.sum(fn(q, k, v).astype(jnp.float32) * c),
+            argnums=(0, 1, 2),
+        )
+
+    gk = loss(
+        lambda q, k, v: wa.window_attention_rope(q, k, v, scale, cos, sin)
+    )(q, k, v)
+    go = loss(rope_oracle)(q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), gk, go):
+        assert _maxerr(a, b) < 2e-4, name
+
+
+@pytest.mark.parametrize("mxu_sum", [False, True])
 def test_rope_interleave_fwd_matches_unfused(
     interpret_kernels, monkeypatch, mxu_sum
 ):
