@@ -22,7 +22,7 @@ Coverage vs the reference helper files:
 * ``memory.py`` (CUDA OOM retry)   -> n/a on TPU (XLA preallocates; there is
                                       no incremental-allocation OOM to retry)
 * ``rle.py`` / ``roi_align.py``    -> already covered by ``ops/rle.py`` and
-                                      ``ops/roi_align.py``
+                                      ``ops/sampling.py::roi_align``
 * ``visualizer.py``/``som_utils.py``/``color_map.py``/``zoom_in.py`` ->
   covered by ``viz.py`` (overlays, set-of-marks, zoom_to_box, palettes).
 """

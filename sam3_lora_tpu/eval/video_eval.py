@@ -11,8 +11,9 @@ track dicts (no file-format plumbing):
   pred_scores: {track_id: float}  (track confidence, for mAP sweeps)
 
 * HOTA (Luiten et al., IJCV 2021): HOTA_alpha = sqrt(DetA * AssA) averaged
-  over 19 alpha thresholds 0.05..0.95; global per-alpha Hungarian matching
-  with Jaccard association scores.
+  over 19 alpha thresholds 0.05..0.95; the exact trackeval algorithm (one
+  Hungarian per frame on global-alignment-weighted similarity), cross-checked
+  against the reference's vendored toolkit.
 * CLEAR-MOT (MOTA/MOTP, Bernardin & Stiefelhagen 2008): per-frame greedy
   matching with persistence, counting misses / false positives / id
   switches.
@@ -96,91 +97,119 @@ def evaluate_hota(
     pred_tracks: Dict,
     alphas: Optional[Sequence[float]] = None,
 ) -> Dict[str, float]:
-    """HOTA = mean_alpha sqrt(DetA_a * AssA_a).
+    """HOTA = mean_alpha sqrt(DetA_a * AssA_a) — the official trackeval
+    algorithm (Luiten et al., IJCV 2021), re-derived to agree exactly with
+    the reference's vendored oracle
+    (sam3/eval/hota_eval_toolkit/trackeval/metrics/hota.py:39-173, verified
+    to 1e-12 by tests/test_eval_crosscheck.py over randomized workloads):
 
-    Per alpha: per-frame Hungarian matching on detection IoU (only pairs
-    with IoU >= alpha are matchable), boosted by global association scores
-    as the tiebreaker (the published two-stage formulation: match jointly on
-    A(c) then IoU). AssA_a = mean over TPs of TPA/(TPA+FNA+FPA).
+    1. Accumulate a GLOBAL (alpha-independent) alignment score per
+       (gt_id, pred_id) track pair: per frame, each pair adds its
+       "sim_iou" = sim / (rowsum + colsum - sim); the pair score is then
+       Jaccard-normalized by track lengths.
+    2. ONE Hungarian matching per frame on global_alignment * similarity
+       (not one per alpha — association context breaks score ties).
+    3. Per alpha, a matched pair counts as TP iff its similarity >= alpha;
+       AssA_a re-scores only the MATCHED pair counts Jaccard-style.
+
+    Returns scalar means over the 19 alphas (0.05..0.95) for the headline
+    keys plus the full per-alpha arrays under ``*_array``.
     """
-    alphas = list(alphas) if alphas is not None else list(np.arange(0.05, 0.96, 0.05))
+    alphas = np.asarray(alphas if alphas is not None else np.arange(0.05, 0.99, 0.05))
     gt_ids = sorted(gt_tracks.keys())
     pr_ids = sorted(pred_tracks.keys())
+    n_gt, n_pr = len(gt_ids), len(pr_ids)
     frames = _frames({**{f"g{k}": v for k, v in gt_tracks.items()},
                       **{f"p{k}": v for k, v in pred_tracks.items()}})
-    # precompute per-frame IoU matrices + presence counts
-    per_frame = []  # (frame, gt_present_idx, pr_present_idx, iou_matrix)
-    gt_count = np.zeros(len(gt_ids))
-    pr_count = np.zeros(len(pr_ids))
+    eps = np.finfo("float").eps
+
+    # per-frame similarity matrices + presence index lists
+    per_frame = []  # (gt_present_idx, pr_present_idx, sim_matrix)
     for f in frames:
         gi = [i for i, g in enumerate(gt_ids) if f in gt_tracks[g]]
         pi = [j for j, p in enumerate(pr_ids) if f in pred_tracks[p]]
-        gt_count[gi] += 1
-        pr_count[pi] += 1
-        iou = np.zeros((len(gi), len(pi)))
+        sim = np.zeros((len(gi), len(pi)))
         for a, i in enumerate(gi):
             for b, j in enumerate(pi):
-                iou[a, b] = _iou(gt_tracks[gt_ids[i]][f], pred_tracks[pr_ids[j]][f])
-        per_frame.append((f, gi, pi, iou))
+                sim[a, b] = _iou(gt_tracks[gt_ids[i]][f], pred_tracks[pr_ids[j]][f])
+        per_frame.append((np.asarray(gi, int), np.asarray(pi, int), sim))
 
-    out_hota, out_deta, out_assa, out_loca = [], [], [], []
-    for alpha in alphas:
-        # pass 1: potential-match counts per (gt, pred) track pair
-        pair_tp = np.zeros((len(gt_ids), len(pr_ids)))
-        for _, gi, pi, iou in per_frame:
-            for a, i in enumerate(gi):
-                for b, j in enumerate(pi):
-                    if iou[a, b] >= alpha - 1e-12:
-                        pair_tp[i, j] += 1
-        # association score A(i,j) = TPA / (gt_len + pr_len - TPA)
-        denom = gt_count[:, None] + pr_count[None, :] - pair_tp
-        assoc = np.divide(pair_tp, denom, out=np.zeros_like(pair_tp),
-                          where=denom > 0)
-        # pass 2: per-frame matching maximizing assoc (then IoU)
-        tp = fp = fn = 0
-        loc_sum = 0.0
-        match_counts = np.zeros_like(pair_tp)
-        for _, gi, pi, iou in per_frame:
-            if gi and pi:
-                score = np.zeros_like(iou)
-                for a, i in enumerate(gi):
-                    for b, j in enumerate(pi):
-                        if iou[a, b] >= alpha - 1e-12:
-                            score[a, b] = 1000.0 * assoc[i, j] + iou[a, b] + 1.0
-                rows, cols = _lsap_max(score)
-                matched_a = set()
-                matched_b = set()
-                for a, b in zip(rows, cols):
-                    if score[a, b] > 0:
-                        tp += 1
-                        loc_sum += iou[a, b]
-                        match_counts[gi[a], pi[b]] += 1
-                        matched_a.add(a)
-                        matched_b.add(b)
-                fn += len(gi) - len(matched_a)
-                fp += len(pi) - len(matched_b)
-            else:
-                fn += len(gi)
-                fp += len(pi)
-        deta = tp / (tp + fn + fp) if (tp + fn + fp) else 0.0
-        # AssA = weighted mean of A over matches
-        if tp:
-            assa = float((match_counts * assoc).sum() / tp)
-            loca = loc_sum / tp
-        else:
-            assa = 0.0
-            loca = 0.0
-        out_deta.append(deta)
-        out_assa.append(assa)
-        out_loca.append(loca)
-        out_hota.append(np.sqrt(deta * assa))
+    n_a = len(alphas)
+    res = {k: np.zeros(n_a) for k in
+           ("HOTA_TP", "HOTA_FN", "HOTA_FP", "LocA", "AssA", "AssRe", "AssPr")}
+    num_gt_dets = sum(len(gi) for gi, _, _ in per_frame)
+    num_pr_dets = sum(len(pi) for _, pi, _ in per_frame)
+    if num_pr_dets == 0 or num_gt_dets == 0:
+        res["HOTA_FN"] += num_gt_dets
+        res["HOTA_FP"] += num_pr_dets
+        res["LocA"] += 1.0
+        return _hota_finalize(res, alphas)
 
-    return {
-        "HOTA": float(np.mean(out_hota)),
-        "DetA": float(np.mean(out_deta)),
-        "AssA": float(np.mean(out_assa)),
-        "LocA": float(np.mean([l for l in out_loca if l > 0]) if any(out_loca) else 0.0),
-    }
+    # pass 1: global alignment accumulation (alpha-independent)
+    potential = np.zeros((n_gt, n_pr))
+    gt_count = np.zeros((n_gt, 1))
+    pr_count = np.zeros((1, n_pr))
+    for gi, pi, sim in per_frame:
+        denom = sim.sum(0)[None, :] + sim.sum(1)[:, None] - sim
+        sim_iou = np.zeros_like(sim)
+        mask = denom > 0 + eps
+        sim_iou[mask] = sim[mask] / denom[mask]
+        potential[gi[:, None], pi[None, :]] += sim_iou
+        gt_count[gi] += 1
+        pr_count[0, pi] += 1
+    global_alignment = potential / (gt_count + pr_count - potential)
+
+    # pass 2: one Hungarian per frame; per-alpha thresholding of its matches
+    matches_counts = [np.zeros((n_gt, n_pr)) for _ in range(n_a)]
+    for gi, pi, sim in per_frame:
+        if len(gi) == 0:
+            res["HOTA_FP"] += len(pi)
+            continue
+        if len(pi) == 0:
+            res["HOTA_FN"] += len(gi)
+            continue
+        score_mat = global_alignment[gi[:, None], pi[None, :]] * sim
+        rows, cols = _lsap_max(score_mat)
+        for a in range(n_a):
+            ok = sim[rows, cols] >= alphas[a] - eps
+            num = int(ok.sum())
+            res["HOTA_TP"][a] += num
+            res["HOTA_FN"][a] += len(gi) - num
+            res["HOTA_FP"][a] += len(pi) - num
+            if num:
+                res["LocA"][a] += float(sim[rows[ok], cols[ok]].sum())
+                matches_counts[a][gi[rows[ok]], pi[cols[ok]]] += 1
+
+    # association scores from the MATCHED counts
+    for a in range(n_a):
+        mc = matches_counts[a]
+        ass_a = mc / np.maximum(1, gt_count + pr_count - mc)
+        res["AssA"][a] = (mc * ass_a).sum() / max(1, res["HOTA_TP"][a])
+        ass_re = mc / np.maximum(1, gt_count)
+        res["AssRe"][a] = (mc * ass_re).sum() / max(1, res["HOTA_TP"][a])
+        ass_pr = mc / np.maximum(1, pr_count)
+        res["AssPr"][a] = (mc * ass_pr).sum() / max(1, res["HOTA_TP"][a])
+    res["LocA"] = np.maximum(1e-10, res["LocA"]) / np.maximum(1e-10, res["HOTA_TP"])
+    return _hota_finalize(res, alphas)
+
+
+def _hota_finalize(res: Dict, alphas: np.ndarray) -> Dict:
+    """trackeval hota.py:251-267 final fields + scalar means over alphas."""
+    res["DetRe"] = res["HOTA_TP"] / np.maximum(1, res["HOTA_TP"] + res["HOTA_FN"])
+    res["DetPr"] = res["HOTA_TP"] / np.maximum(1, res["HOTA_TP"] + res["HOTA_FP"])
+    res["DetA"] = res["HOTA_TP"] / np.maximum(
+        1, res["HOTA_TP"] + res["HOTA_FN"] + res["HOTA_FP"])
+    res["HOTA"] = np.sqrt(res["DetA"] * res["AssA"])
+    res["OWTA"] = np.sqrt(res["DetRe"] * res["AssA"])
+    out = {k + "_array": v for k, v in res.items()}
+    out.update({k: float(np.mean(res[k])) for k in
+                ("HOTA", "DetA", "AssA", "LocA", "DetRe", "DetPr",
+                 "AssRe", "AssPr", "OWTA")})
+    out["HOTA(0)"] = float(res["HOTA"][0])
+    out["LocA(0)"] = float(res["LocA"][0])
+    out["HOTALocA(0)"] = out["HOTA(0)"] * out["LocA(0)"]
+    out["alphas"] = alphas
+    return out
 
 
 # ---------------------------------------------------------------------------

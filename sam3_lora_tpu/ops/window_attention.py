@@ -73,9 +73,13 @@ _MXU_SUM = os.environ.get("SAM3_WINDOW_MXU_SUM", "0") == "1"
 # (L, L) VPU max-reduction pass plus the subtract pass from every program of
 # a VPU-bound kernel. Numerically safe only while |scale*QK^T| stays well
 # below exp's fp32 overflow (~88, or ~127 under _MXU_SUM's exp2): holds for
-# LN-bounded ViT activations (measured |s| < 30 at trained SAM3 weights) but
-# NOT guaranteed for arbitrary inputs, so this is an env-gated experiment
-# (SAM3_WINDOW_NO_MAX=1), default OFF.
+# LN-bounded ViT activations but NOT guaranteed for arbitrary inputs, so this
+# is an env-gated experiment (SAM3_WINDOW_NO_MAX=1), default OFF.
+# Provenance of the |s| < 30 bound: measured at the repo's converted random
+# init, not yet at trained SAM3 weights (no checkpoint reachable from this
+# box — see PARITY.md "golden checkpoint"); pre-softmax scores are bounded by
+# scale*|q||k| with q,k LayerNorm-bounded, which is weight-scale dependent, so
+# re-verify the margin once real weights land before enabling in production.
 _NO_MAX = os.environ.get("SAM3_WINDOW_NO_MAX", "0") == "1"
 
 _LOG2E = 1.4426950408889634
@@ -143,19 +147,6 @@ def _recip_rowsum(p, dtype):
     return 1.0 / jnp.sum(p, axis=-1)
 
 
-def _rowsum(t, dtype):
-    """rowsum(t) for (G, L, L) t — MXU ones-matmul under _MXU_SUM."""
-    if _MXU_SUM:
-        g, l, _ = t.shape
-        ones = jnp.ones((l, 1), dtype)
-        return jax.lax.dot_general(
-            t.astype(dtype), ones,
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )[..., 0]
-    return jnp.sum(t, axis=-1)
-
-
 def _fwd_kernel_interleave(q_ref, k_ref, v_ref, o_ref, *, scale):
     """Per-head software pipeline: issue head i+1's QK^T (MXU) before head
     i's softmax (VPU) so the compiler can overlap the two units — the batched
@@ -199,6 +190,19 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
     o_ref[0] = (o * r[..., None]).astype(o_ref.dtype)
 
 
+def _rowsum_dp_p(pb, v, do, inv):
+    """c = inv * rowsum_j(dP_ij * P_ij) via the flash-attention identity
+    rowsum(dP ⊙ P) = rowsum_D(dO ⊙ (P@V)): one extra (L,L)x(L,D) MXU matmul
+    replaces a full (G,L,L) VPU elementwise-multiply pass with a (G,L,D) one
+    (9x fewer elements at L=576, D=64) — these kernels are VPU-bound, so the
+    idle MXU work is free. pb: bf16 unnormalized softmax; returns (G, L)."""
+    o_un = jax.lax.dot_general(
+        pb, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    return inv * jnp.sum(do.astype(jnp.float32) * o_un, axis=-1)
+
+
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale):
     q = q_ref[0]
     k = k_ref[0]
@@ -225,7 +229,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale):
         preferred_element_type=jnp.float32,
     )
     # ds = P*(dP - rowsum(dP*P)) = inv * [p * (dP - c)],  c = inv*rowsum(dP*p)
-    c = inv * _rowsum(dp * p, q.dtype)                   # (G, L)
+    c = _rowsum_dp_p(pb, v, do, inv)                     # (G, L)
     ds = (p * (dp - c[..., None])).astype(q.dtype)
     # dQ = (scale*inv) * (ds' K)   — row scaling applied to the (L, D) output
     dq = jax.lax.dot_general(
@@ -309,7 +313,7 @@ def _bwd_kernel_rope(
         do, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    c = inv * _rowsum(dp * p, q.dtype)
+    c = _rowsum_dp_p(pb, v, do, inv)
     ds = (p * (dp - c[..., None])).astype(q.dtype)
     dq = jax.lax.dot_general(
         ds, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),

@@ -51,9 +51,15 @@ def initialize(
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if num <= 1 and addr is None:
         return False
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    # pass the RESOLVED values: jax.distributed's own autodetection knows
+    # cluster envs (TPU pod, Slurm, GKE) but not these JAX_* variables, so
+    # forwarding None here would fail on plain multi-process launches
+    # (caught by tests/test_multihost.py::TestRealMultiProcess)
     jax.distributed.initialize(
         coordinator_address=addr,
-        num_processes=num_processes,
+        num_processes=num if num > 1 else None,
         process_id=process_id,
     )
     return True

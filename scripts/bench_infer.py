@@ -8,11 +8,18 @@ single-image predict + sam3_image_processor.py cached-backbone re-ground):
   3. e2e     — full eval forward (backbone + ground), batched over images,
                reported as img/s/chip
 
+Reports LATENCY PERCENTILES (p50/p90/p99 over per-rep host-fetch-barriered
+timings — BASELINE.json's metric names p50 single-image mask latency):
+each rep is individually timed with a scalar host fetch as the barrier (the
+axon tunnel ignores block_until_ready), so one contended rep shows up in the
+spread instead of poisoning a mean.
+
 Env: INFER_BATCH (default 1 and 4), INFER_QUANT (default also sweeps int8),
-REPS (default 10). Run alone — the host has one CPU core and concurrent jobs
+REPS (default 50). Run alone — the host has one CPU core and concurrent jobs
 skew timings (see memory: tpu-bench-methodology).
 """
 
+import json
 import os
 import sys
 import time
@@ -23,7 +30,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-REPS = int(os.environ.get("REPS", "10"))
+REPS = int(os.environ.get("REPS", "50"))
+
+RESULTS = {}
 
 
 def _fetch(out):
@@ -33,13 +42,27 @@ def _fetch(out):
 
 def timeit(name, fn, *args):
     _fetch(fn(*args))  # compile
-    t0 = time.time()
+    ts = []
     for _ in range(REPS):
+        t0 = time.time()
         out = fn(*args)
-    _fetch(out)
-    dt = (time.time() - t0) / REPS
-    print(f"{name:52s} {dt * 1e3:9.2f} ms", flush=True)
-    return dt
+        _fetch(out)  # per-rep barrier: percentiles, not a polluted mean
+        ts.append(time.time() - t0)
+    ts = np.asarray(ts)
+    p50, p90, p99 = (float(np.percentile(ts, q)) for q in (50, 90, 99))
+    print(
+        f"{name:52s} p50 {p50 * 1e3:8.2f} ms  p90 {p90 * 1e3:8.2f} ms  "
+        f"p99 {p99 * 1e3:8.2f} ms  (min {ts.min() * 1e3:.2f})",
+        flush=True,
+    )
+    RESULTS[name.strip()] = {
+        "p50_ms": round(p50 * 1e3, 3),
+        "p90_ms": round(p90 * 1e3, 3),
+        "p99_ms": round(p99 * 1e3, 3),
+        "min_ms": round(float(ts.min()) * 1e3, 3),
+        "reps": REPS,
+    }
+    return p50
 
 
 def run(quant: str, batches):
@@ -135,6 +158,7 @@ def main():
     batches = [int(x) for x in os.environ.get("INFER_BATCH", "1,4").split(",")]
     for q in quants:
         run(q, batches)
+    print(json.dumps({"serving_latency": RESULTS}), flush=True)
 
 
 if __name__ == "__main__":
