@@ -104,10 +104,6 @@ class Attention(nn.Module):
         qkv = LoRALinear(dim * 3, self.spec, name="qkv", out_perm=col_perm)(
             x.reshape(b, l, dim), train=train
         )
-        qkv = qkv.reshape(b, l, 3, heads, head_dim)
-        q, k, v = [
-            jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3)
-        ]  # each (B, H, L, hd)
 
         # 5184-token global blocks: fused flash attention (13 GB of fp32
         # logits at bs 8 otherwise). Windowed blocks: whole-window fused
@@ -119,7 +115,7 @@ class Attention(nn.Module):
         else:
             impl = "xla"
 
-        rope_cos = rope_sin = None
+        cos = sin = None
         if cfg.vit_use_rope:
             angles = compute_axial_freqs(
                 head_dim,
@@ -130,9 +126,47 @@ class Attention(nn.Module):
             )
             cos = jnp.asarray(np.cos(angles))
             sin = jnp.asarray(np.sin(angles))
-            from ..ops.window_attention import FUSE_ROPE
 
-            if impl == "window" and FUSE_ROPE:
+        from ..ops import window_attention as wa
+
+        if (
+            impl == "window"
+            and wa.packed_native_ok(heads, head_dim)
+            and (wa.FUSE_ROPE or not cfg.vit_use_rope)
+        ):
+            # Head-pair-packed chain: heads (2i, 2i+1) are adjacent channels
+            # of the qkv projection, so the packed (B*H/2, L, 2D) kernel
+            # layout costs ONE relayout each way — same count as the grouped
+            # path — while the kernel DMAs full 128-lane blocks (~2.7x the
+            # D=64 rate; scripts/probe_dma_floor.py, probe_packed_chain.py).
+            qkv_p = qkv.reshape(b, l, 3, heads // 2, 2 * head_dim)
+            q, k, v = [
+                jnp.transpose(qkv_p[:, :, i], (0, 2, 1, 3)).reshape(
+                    b * (heads // 2), l, 2 * head_dim
+                )
+                for i in range(3)
+            ]
+            scale = float(head_dim**-0.5)
+            if cfg.vit_use_rope:
+                out = wa.window_attention_rope_packed(q, k, v, scale, cos, sin)
+            else:
+                out = wa.window_attention_packed(q, k, v, scale)
+            out = (
+                out.reshape(b, heads // 2, l, 2 * head_dim)
+                .transpose(0, 2, 1, 3)
+                .reshape(b, l, dim)
+            )
+            out = LoRALinear(dim, self.spec, name="proj")(out, train=train)
+            return out.reshape(b, h, w, dim)
+
+        qkv = qkv.reshape(b, l, 3, heads, head_dim)
+        q, k, v = [
+            jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3)
+        ]  # each (B, H, L, hd)
+
+        rope_cos = rope_sin = None
+        if cfg.vit_use_rope:
+            if impl == "window" and wa.FUSE_ROPE:
                 # rotation fused into the window kernel (VMEM-resident)
                 rope_cos, rope_sin = cos, sin
             else:

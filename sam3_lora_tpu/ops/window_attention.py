@@ -82,6 +82,18 @@ _MXU_SUM = os.environ.get("SAM3_WINDOW_MXU_SUM", "0") == "1"
 # re-verify the margin once real weights land before enabling in production.
 _NO_MAX = os.environ.get("SAM3_WINDOW_NO_MAX", "0") == "1"
 
+# Head-PAIR-packed lane layout: kernel blocks are (wpp, L, 2*D) with two
+# 64-channel heads side by side in lanes instead of (1, G, L, D). Rationale
+# (measured, scripts/probe_dma_floor.py, v5e): D=64 blocks DMA at ~95 GB/s
+# while 128-lane blocks DMA at ~260 GB/s — the kernels are ~87% DMA-bound
+# (the pure-copy stage costs 3.6 ms of the 4.15 ms forward), so full-lane
+# blocks are worth far more than any VPU shaving. In-kernel the two heads are
+# sliced apart in VMEM and run the standard per-head math (measured faster
+# than a block-diagonal 128-deep packed matmul: 2.52 vs 3.29 ms fwd,
+# scripts/probe_packed.py). Default ON; SAM3_WINDOW_PACKED=0 restores the
+# head-grouped layout.
+_PACKED = os.environ.get("SAM3_WINDOW_PACKED", "1") == "1"
+
 _LOG2E = 1.4426950408889634
 
 # Tests set this to run the kernels off-TPU via the Pallas interpreter.
@@ -203,14 +215,14 @@ def _rowsum_dp_p(pb, v, do, inv):
     return inv * jnp.sum(do.astype(jnp.float32) * o_un, axis=-1)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale):
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0]
-    # Unnormalized softmax; the 1/rowsum factor is folded into (G, L, D)
-    # row-scalings (dO for dV, Q for dK, the dQ output) so no (G, L, L)
-    # tensor is ever divided or normalized — rationale as in _fwd_kernel.
+def _bwd_core(q, k, v, do, scale):
+    """Standard attention backward for (G, L, D) operands, everything
+    VMEM-resident. Returns fp32 (dq, dk, dv).
+
+    Unnormalized softmax; the 1/rowsum factor is folded into (G, L, D)
+    row-scalings (dO for dV, Q for dK, the dQ output) so no (G, L, L)
+    tensor is ever divided or normalized — rationale as in _fwd_kernel.
+    """
     p = _scores(q, k, scale)  # (G, L, L) fp32
     inv = _recip_rowsum(p, q.dtype)  # (G, L)
     # Matmul operands are cast to bf16 (fp32 accumulation via
@@ -242,6 +254,11 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale):
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
+    return dq, dk, dv
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale):
+    dq, dk, dv = _bwd_core(q_ref[0], k_ref[0], v_ref[0], do_ref[0], scale)
     dq_ref[0] = dq.astype(dq_ref.dtype)
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
@@ -299,34 +316,93 @@ def _bwd_kernel_rope(
     cos, sin = cos_ref[...], sin_ref[...]
     q = apply_rope_half(q_ref[0], cos, sin)
     k = apply_rope_half(k_ref[0], cos, sin)
-    v = v_ref[0]
-    do = do_ref[0]
-    p = _scores(q, k, scale)
-    inv = _recip_rowsum(p, q.dtype)
-    pb = p.astype(q.dtype)
-    dv = jax.lax.dot_general(
-        pb, (do * inv[..., None].astype(do.dtype)),
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    dp = jax.lax.dot_general(
-        do, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    c = _rowsum_dp_p(pb, v, do, inv)
-    ds = (p * (dp - c[..., None])).astype(q.dtype)
-    dq = jax.lax.dot_general(
-        ds, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) * (scale * inv[..., None])
-    dk = jax.lax.dot_general(
-        ds, (q * (scale * inv[..., None]).astype(q.dtype)),
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
+    dq, dk, dv = _bwd_core(q, k, v_ref[0], do_ref[0], scale)
     dq_ref[0] = apply_rope_half_inv(dq.astype(dq_ref.dtype), cos, sin)
     dk_ref[0] = apply_rope_half_inv(dk.astype(dk_ref.dtype), cos, sin)
     dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Head-pair-packed kernels (see _PACKED): blocks are (wpp, L, 2D), two heads
+# side by side in lanes for full-width DMA; the heads are sliced apart on the
+# VMEM-resident block and run the standard per-head math. All softmax-variant
+# flags (_MXU_SUM, _NO_MAX) apply unchanged via _scores/_pv_and_recip_rowsum.
+# ---------------------------------------------------------------------------
+
+
+def _head_slices(ref_last_dim):
+    d = ref_last_dim // 2
+    return d, (slice(0, d), slice(d, None))
+
+
+def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, scale):
+    _, slices = _head_slices(q_ref.shape[-1])
+    for w in range(q_ref.shape[0]):
+        outs = []
+        for sl in slices:
+            q = q_ref[w, :, sl][None]  # (1, L, D)
+            k = k_ref[w, :, sl][None]
+            v = v_ref[w, :, sl][None]
+            p = _scores(q, k, scale)
+            o, r = _pv_and_recip_rowsum(p, v)
+            outs.append((o[0] * r[0][:, None]).astype(o_ref.dtype))
+        o_ref[w] = jnp.concatenate(outs, axis=-1)
+
+
+def _fwd_kernel_rope_packed(q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *, scale):
+    cos, sin = cos_ref[...], sin_ref[...]
+    _, slices = _head_slices(q_ref.shape[-1])
+    for w in range(q_ref.shape[0]):
+        outs = []
+        for sl in slices:
+            q = apply_rope_half(q_ref[w, :, sl], cos, sin)[None]
+            k = apply_rope_half(k_ref[w, :, sl], cos, sin)[None]
+            v = v_ref[w, :, sl][None]
+            p = _scores(q, k, scale)
+            o, r = _pv_and_recip_rowsum(p, v)
+            outs.append((o[0] * r[0][:, None]).astype(o_ref.dtype))
+        o_ref[w] = jnp.concatenate(outs, axis=-1)
+
+
+def _bwd_kernel_packed(
+    q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale
+):
+    _, slices = _head_slices(q_ref.shape[-1])
+    for w in range(q_ref.shape[0]):
+        dqs, dks, dvs = [], [], []
+        for sl in slices:
+            dq, dk, dv = _bwd_core(
+                q_ref[w, :, sl][None], k_ref[w, :, sl][None],
+                v_ref[w, :, sl][None], do_ref[w, :, sl][None], scale,
+            )
+            dqs.append(dq[0])
+            dks.append(dk[0])
+            dvs.append(dv[0])
+        dq_ref[w] = jnp.concatenate(dqs, -1).astype(dq_ref.dtype)
+        dk_ref[w] = jnp.concatenate(dks, -1).astype(dk_ref.dtype)
+        dv_ref[w] = jnp.concatenate(dvs, -1).astype(dv_ref.dtype)
+
+
+def _bwd_kernel_rope_packed(
+    q_ref, k_ref, v_ref, do_ref, cos_ref, sin_ref,
+    dq_ref, dk_ref, dv_ref, *, scale,
+):
+    cos, sin = cos_ref[...], sin_ref[...]
+    _, slices = _head_slices(q_ref.shape[-1])
+    for w in range(q_ref.shape[0]):
+        dqs, dks, dvs = [], [], []
+        for sl in slices:
+            q = apply_rope_half(q_ref[w, :, sl], cos, sin)[None]
+            k = apply_rope_half(k_ref[w, :, sl], cos, sin)[None]
+            dq, dk, dv = _bwd_core(
+                q, k, v_ref[w, :, sl][None], do_ref[w, :, sl][None], scale
+            )
+            dqs.append(apply_rope_half_inv(dq[0].astype(dq_ref.dtype), cos, sin))
+            dks.append(apply_rope_half_inv(dk[0].astype(dk_ref.dtype), cos, sin))
+            dvs.append(dv[0])
+        dq_ref[w] = jnp.concatenate(dqs, -1)
+        dk_ref[w] = jnp.concatenate(dks, -1)
+        dv_ref[w] = jnp.concatenate(dvs, -1).astype(dv_ref.dtype)
 
 
 def _group(h: int) -> int:
@@ -388,6 +464,159 @@ def _window_pallas(kernel, scale, tensors, tables, n_outputs):
     return tuple(_ungrouped(o, b, h) for o in out)
 
 
+def _use_packed(q) -> bool:
+    """Packed layout needs an even head count; the full-lane win needs
+    D % 64 == 0 (2D a multiple of the 128-lane vreg width) — relaxed under
+    the interpreter so CPU parity tests can exercise the packed kernels at
+    small D."""
+    b, h, l, d = q.shape
+    return _PACKED and h % 2 == 0 and (d % 64 == 0 or _FORCE_INTERPRET)
+
+
+def packed_native_ok(heads: int, head_dim: int) -> bool:
+    """Whether a caller that OWNS its layout (models/vit.py Attention) should
+    build the head-pair-packed (B*H/2, L, 2D) chain and call
+    window_attention[_rope]_packed directly — paying one relayout each way
+    instead of the wrapper's pack/unpack on top of the head split (measured:
+    the wrapper transposes ate the kernel's isolated 1.65x win at step
+    level, scripts/probe_packed_chain.py)."""
+    from .pallas_attention import _is_tpu_backend
+
+    return (
+        _PACKED
+        and heads % 2 == 0
+        and (head_dim % 64 == 0 or _FORCE_INTERPRET)
+        and (_is_tpu_backend() or _FORCE_INTERPRET)
+    )
+
+
+def _pack(x):
+    """(B, H, L, D) -> (B*H/2, L, 2D): head pair (2i, 2i+1) side by side in
+    lanes. Composes with the caller's (B, L, H, D) -> (B, H, L, D) transpose
+    into the same single relayout XLA already materializes for the grouped
+    layout (heads 2i, 2i+1 are adjacent channels of the qkv projection)."""
+    b, h, l, d = x.shape
+    return (
+        x.reshape(b, h // 2, 2, l, d)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(b * (h // 2), l, 2 * d)
+    )
+
+
+def _unpack(x, b, h):
+    n, l, d2 = x.shape
+    d = d2 // 2
+    return (
+        x.reshape(b, h // 2, l, 2, d)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(b, h, l, d)
+    )
+
+
+def _window_pallas_packed(kernel, scale, tensors, tables, n_outputs):
+    """Packed-layout counterpart of _window_pallas: (B, H, L, D) tensors ride
+    as (wpp, L, 2D) full-lane blocks, wpp=2 window-pairs per program when the
+    grid divides (measured another ~15% over wpp=1: scripts/probe_packed.py)."""
+    b, h, l, d = tensors[0].shape
+    packed = [_pack(t) for t in tensors]
+    n = packed[0].shape[0]
+    wpp = 2 if n % 2 == 0 else 1
+    spec = pl.BlockSpec((wpp, l, 2 * d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct(packed[0].shape, t.dtype)
+        for t in tensors[:n_outputs]
+    ]
+    out_specs = [spec] * n_outputs
+    out = pl.pallas_call(
+        functools.partial(kernel, scale=scale),
+        out_shape=out_shape if n_outputs > 1 else out_shape[0],
+        grid=(n // wpp,),
+        in_specs=[spec] * len(tensors)
+        + [_rope_specs(l, d // 2)] * len(tables),
+        out_specs=out_specs if n_outputs > 1 else out_specs[0],
+        compiler_params=_PARALLEL,
+        interpret=_FORCE_INTERPRET,
+    )(*packed, *[t.astype(jnp.float32) for t in tables])
+    if n_outputs == 1:
+        return _unpack(out, b, h)
+    return tuple(_unpack(o, b, h) for o in out)
+
+
+def _packed_pallas(kernel, scale, tensors, tables, n_outputs):
+    """pallas_call plumbing for tensors ALREADY in packed (N, L, 2D) layout —
+    no pack/unpack relayouts (the caller owns the layout; see
+    window_attention_packed)."""
+    n, l, d2 = tensors[0].shape
+    wpp = 2 if n % 2 == 0 else 1
+    spec = pl.BlockSpec((wpp, l, d2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct(tensors[0].shape, t.dtype)
+        for t in tensors[:n_outputs]
+    ]
+    out_specs = [spec] * n_outputs
+    out = pl.pallas_call(
+        functools.partial(kernel, scale=scale),
+        out_shape=out_shape if n_outputs > 1 else out_shape[0],
+        grid=(n // wpp,),
+        in_specs=[spec] * len(tensors)
+        + [_rope_specs(l, d2 // 4)] * len(tables),
+        out_specs=out_specs if n_outputs > 1 else out_specs[0],
+        compiler_params=_PARALLEL,
+        interpret=_FORCE_INTERPRET,
+    )(*tensors, *[t.astype(jnp.float32) for t in tables])
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def window_attention_packed(q, k, v, scale: float):
+    """Fused window attention over head-pair-packed (N, L, 2D) tensors,
+    N = B*H/2, heads (2i, 2i+1) side by side in lanes. The packed layout
+    falls straight out of the qkv projection (heads are adjacent channels),
+    so callers pay ONE relayout each way — same count as the grouped path —
+    while the kernel DMAs full-width 128-lane blocks (~2.7x the D=64 rate,
+    scripts/probe_dma_floor.py)."""
+    return _wap_fwd(q, k, v, scale)[0]
+
+
+def _wap_fwd(q, k, v, scale):
+    out = _packed_pallas(_fwd_kernel_packed, scale, (q, k, v), (), 1)
+    return out, (q, k, v)
+
+
+def _wap_bwd(scale, residuals, do):
+    q, k, v = residuals
+    return _packed_pallas(_bwd_kernel_packed, scale, (q, k, v, do), (), 3)
+
+
+window_attention_packed.defvjp(_wap_fwd, _wap_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def window_attention_rope_packed(q, k, v, scale: float, cos, sin):
+    """window_attention_packed with the RoPE rotation fused in-kernel.
+    q/k UNROTATED in rotate-half layout per head; cos/sin: (L, D//2) with
+    D the per-head dim (= q.shape[-1] // 2)."""
+    return _warp_fwd(q, k, v, scale, cos, sin)[0]
+
+
+def _warp_fwd(q, k, v, scale, cos, sin):
+    out = _packed_pallas(
+        _fwd_kernel_rope_packed, scale, (q, k, v), (cos, sin), 1
+    )
+    return out, (q, k, v, cos, sin)
+
+
+def _warp_bwd(scale, residuals, do):
+    q, k, v, cos, sin = residuals
+    dq, dk, dv = _packed_pallas(
+        _bwd_kernel_rope_packed, scale, (q, k, v, do), (cos, sin), 3
+    )
+    return dq, dk, dv, jnp.zeros_like(cos), jnp.zeros_like(sin)
+
+
+window_attention_rope_packed.defvjp(_warp_fwd, _warp_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def window_attention(q, k, v, scale: float):
     """Fused attention over full windows. q/k/v: (B, H, L, D), no mask."""
@@ -395,13 +624,20 @@ def window_attention(q, k, v, scale: float):
 
 
 def _wa_fwd(q, k, v, scale):
-    fwd = _fwd_kernel_interleave if _INTERLEAVE else _fwd_kernel
-    out = _window_pallas(fwd, scale, (q, k, v), (), 1)
+    if _use_packed(q):
+        out = _window_pallas_packed(_fwd_kernel_packed, scale, (q, k, v), (), 1)
+    else:
+        fwd = _fwd_kernel_interleave if _INTERLEAVE else _fwd_kernel
+        out = _window_pallas(fwd, scale, (q, k, v), (), 1)
     return out, (q, k, v)
 
 
 def _wa_bwd(scale, residuals, do):
     q, k, v = residuals
+    if _use_packed(q):
+        return _window_pallas_packed(
+            _bwd_kernel_packed, scale, (q, k, v, do), (), 3
+        )
     return _window_pallas(_bwd_kernel, scale, (q, k, v, do), (), 3)
 
 
@@ -421,15 +657,26 @@ def window_attention_rope(q, k, v, scale: float, cos, sin):
 
 
 def _war_fwd(q, k, v, scale, cos, sin):
-    fwd = _fwd_kernel_rope_interleave if _INTERLEAVE else _fwd_kernel_rope
-    out = _window_pallas(fwd, scale, (q, k, v), (cos, sin), 1)
+    if _use_packed(q):
+        out = _window_pallas_packed(
+            _fwd_kernel_rope_packed, scale, (q, k, v), (cos, sin), 1
+        )
+    else:
+        fwd = _fwd_kernel_rope_interleave if _INTERLEAVE else _fwd_kernel_rope
+        out = _window_pallas(fwd, scale, (q, k, v), (cos, sin), 1)
     return out, (q, k, v, cos, sin)
 
 
 def _war_bwd(scale, residuals, do):
     q, k, v, cos, sin = residuals
-    dq, dk, dv = _window_pallas(
-        _bwd_kernel_rope, scale, (q, k, v, do), (cos, sin), 3
+    bwd_pallas = (
+        _window_pallas_packed if _use_packed(q) else _window_pallas
+    )
+    bwd_kernel = (
+        _bwd_kernel_rope_packed if _use_packed(q) else _bwd_kernel_rope
+    )
+    dq, dk, dv = bwd_pallas(
+        bwd_kernel, scale, (q, k, v, do), (cos, sin), 3
     )
     # cos/sin are position tables (constants) — zero grads keep the vjp total
     return dq, dk, dv, jnp.zeros_like(cos), jnp.zeros_like(sin)

@@ -19,9 +19,13 @@ from sam3_lora_tpu.ops.rope import apply_rope_half, compute_axial_freqs
 pytestmark = pytest.mark.fast
 
 
-@pytest.fixture
-def interpret_kernels(monkeypatch):
+@pytest.fixture(params=[False, True], ids=["grouped", "packed"])
+def interpret_kernels(monkeypatch, request):
+    """Runs every kernel parity test in both block layouts: the head-grouped
+    (1, G, L, D) layout and the head-pair-packed (wpp, L, 2D) lane layout
+    (wa._PACKED; D%64 gate relaxed under the interpreter)."""
     monkeypatch.setattr(wa, "_FORCE_INTERPRET", True)
+    monkeypatch.setattr(wa, "_PACKED", request.param)
 
 
 def _qkv(b=2, h=4, l=64, d=16, dtype=jnp.float32):
@@ -240,3 +244,45 @@ def test_rope_dispatch_cpu_fallback_applies_rotation():
     kr = apply_rope_half(k, cos, sin)
     ref = dot_product_attention(qr, kr, v, impl="xla")
     assert _maxerr(out, ref) < 1e-6
+
+
+class TestVitPackedNativeChain:
+    """The ViT Attention module's head-pair-packed chain (models/vit.py:
+    qkv projection -> (B*H/2, L, 2D) -> window_attention_rope_packed -> merge)
+    must match the grouped/XLA path numerically — output AND input grads."""
+
+    def _attn(self):
+        from sam3_lora_tpu.config import tiny_model_config
+        from sam3_lora_tpu.models.layers import Spec
+        from sam3_lora_tpu.models.vit import Attention
+
+        cfg = tiny_model_config()
+        spec = Spec(model=cfg, lora=None)
+        ws = cfg.vit_window_size
+        attn = Attention(spec=spec, input_size=(ws, ws), rope_scale_pos=1.0)
+        x = jax.random.normal(
+            jax.random.PRNGKey(0), (3, ws, ws, cfg.vit_dim), jnp.float32
+        )
+        params = attn.init(jax.random.PRNGKey(1), x)
+        return attn, params, x
+
+    def test_packed_chain_matches_xla_reference(self, monkeypatch):
+        attn, params, x = self._attn()
+
+        def loss(x):
+            return jnp.sum(attn.apply(params, x).astype(jnp.float32) ** 2)
+
+        # reference: CPU fallthrough (packed_native_ok False w/o interpret)
+        monkeypatch.setattr(wa, "_FORCE_INTERPRET", False)
+        ref = attn.apply(params, x)
+        ref_g = jax.grad(loss)(x)
+
+        # packed-native chain via the Pallas interpreter
+        monkeypatch.setattr(wa, "_FORCE_INTERPRET", True)
+        monkeypatch.setattr(wa, "_PACKED", True)
+        assert wa.packed_native_ok(2, attn.spec.model.vit_dim // 2)
+        got = attn.apply(params, x)
+        got_g = jax.grad(loss)(x)
+
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g), atol=2e-4, rtol=1e-4)
