@@ -128,6 +128,25 @@ class Attention(nn.Module):
             sin = jnp.asarray(np.sin(angles))
 
         from ..ops import window_attention as wa
+        from ..ops import window_qkv as wq
+
+        if (
+            impl == "window"
+            and wq.qkv_native_ok(heads, head_dim)
+            and (wa.FUSE_ROPE or not cfg.vit_use_rope)
+        ):
+            # qkv-NATIVE chain: the kernel reads the projection output
+            # (WB, L, 3*dim) as one contiguous block per window and writes
+            # merge_heads layout — ZERO transposes between the qkv GEMM and
+            # the output projection (ops/window_qkv.py; the packed chain
+            # below still pays one relayout each way).
+            scale = float(head_dim**-0.5)
+            if cfg.vit_use_rope:
+                out = wq.window_attention_rope_qkv(qkv, heads, scale, cos, sin)
+            else:
+                out = wq.window_attention_qkv(qkv, heads, scale)
+            out = LoRALinear(dim, self.spec, name="proj")(out, train=train)
+            return out.reshape(b, h, w, dim)
 
         if (
             impl == "window"
