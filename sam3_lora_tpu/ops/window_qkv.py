@@ -18,9 +18,17 @@ These kernels remove the relayouts entirely:
   byte-for-byte the merge_heads layout the output projection consumes.
   ZERO transposes in the whole chain.
 * backward — same idea: (qkv, dO) in, dqkv out, where dqkv is exactly the
-  cotangent layout the qkv projection's backward GEMM consumes. The grid
-  splits the head axis in two (blocks (1, L, 3, dim/2)) to stay inside
-  ~16 MB VMEM with double buffering.
+  cotangent layout the qkv projection's backward GEMM consumes.
+
+Both directions split the head axis across a second grid dimension: Mosaic's
+scoped-VMEM stack is ~16 MB, and at production shapes (L=576, 16 heads) the
+fully-unrolled per-head softmax temporaries are ~3 MB f32 per head forward
+(measured: a whole-16-head program demanded a 47.8 MB scoped allocation on
+v5e and failed to compile) and more backward. The default split leaves TWO
+heads per program — a (1, L, 3, 128) block, i.e. the full-lane DMA
+granularity the head-pair-packed kernel was measured at — tunable via
+SAM3_WINDOW_QKV_FWD_SPLIT / SAM3_WINDOW_QKV_BWD_SPLIT (number of grid
+slices of the head axis; clamped to keep blocks 128-lane aligned).
 
 Softmax math is shared with ops/window_attention.py (_scores /
 _pv_and_recip_rowsum / _bwd_core), so the SAM3_WINDOW_MXU_SUM /
@@ -47,6 +55,24 @@ from .rope import apply_rope_half, apply_rope_half_inv
 # attention chain). Default ON; SAM3_WINDOW_QKV_NATIVE=0 restores the
 # head-pair-packed (B*H/2, L, 2D) chain for A/B runs.
 QKV_NATIVE = os.environ.get("SAM3_WINDOW_QKV_NATIVE", "1") == "1"
+
+# Head-axis grid splits (see module docstring). Defaults leave 2 heads per
+# program at the production 16-head config.
+_FWD_SPLIT = int(os.environ.get("SAM3_WINDOW_QKV_FWD_SPLIT", "8"))
+_BWD_SPLIT = int(os.environ.get("SAM3_WINDOW_QKV_BWD_SPLIT", "8"))
+
+
+def _head_split(heads: int, dim: int, want: int) -> int:
+    """Largest split <= want that divides the head axis evenly and keeps the
+    per-block channel width 128-lane aligned (alignment relaxed under the
+    interpreter, where tests run tiny head dims)."""
+    s = max(1, min(want, heads))
+    while s > 1 and (
+        heads % s != 0
+        or ((dim // s) % 128 != 0 and not wa._FORCE_INTERPRET)
+    ):
+        s -= 1
+    return s
 
 
 def qkv_native_ok(heads: int, head_dim: int) -> bool:
@@ -146,24 +172,27 @@ def _call_fwd(qkv, heads, scale, tables):
     dim = td // 3
     qkv4 = qkv.reshape(n, l, 3, dim)  # pure view, no data movement
     d2 = (dim // heads) // 2
+    s = _head_split(heads, dim, _FWD_SPLIT)
+    hb = heads // s
+    db = dim // s
     kern = _fwd_rope if tables else _fwd_plain
     return pl.pallas_call(
-        functools.partial(kern, heads=heads, scale=scale),
+        functools.partial(kern, heads=hb, scale=scale),
         out_shape=jax.ShapeDtypeStruct((n, l, dim), qkv.dtype),
-        grid=(n,),
+        grid=(n, s),
         in_specs=[
             pl.BlockSpec(
-                (1, l, 3, dim), lambda i: (i, 0, 0, 0),
+                (1, l, 3, db), lambda i, j: (i, 0, 0, j),
                 memory_space=pltpu.VMEM,
             )
         ]
         + [
-            pl.BlockSpec((l, d2), lambda i: (0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((l, d2), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
         ] * len(tables),
         out_specs=pl.BlockSpec(
-            (1, l, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, l, db), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
         ),
-        compiler_params=wa._PARALLEL,
+        compiler_params=_PARALLEL2,
         interpret=wa._FORCE_INTERPRET,
     )(qkv4, *[t.astype(jnp.float32) for t in tables])
 
@@ -171,9 +200,9 @@ def _call_fwd(qkv, heads, scale, tables):
 def _call_bwd(qkv, do, heads, scale, tables):
     n, l, td = qkv.shape
     dim = td // 3
-    # Head-axis split keeps (in + do + out) x double-buffer under ~16 MB
-    # VMEM at production shapes (L=576, dim=1024).
-    s = 2 if heads % 2 == 0 else 1
+    # Head-axis split keeps the per-program scoped-VMEM stack (the per-head
+    # (L, L) f32 softmax temporaries) under Mosaic's ~16 MB limit.
+    s = _head_split(heads, dim, _BWD_SPLIT)
     hb = heads // s
     db = dim // s
     d2 = (dim // heads) // 2
