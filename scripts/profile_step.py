@@ -1,5 +1,9 @@
 """Bisect train-step time: ViT fwd / full eval fwd / train fwd+matching /
-full train step, each jitted and timed on the real chip."""
+full train step, each jitted and timed on the real chip.
+
+Honors the same BENCH_* envs as bench.py (BENCH_BATCH/QUANT/REMAT/
+ENC_REMAT/DEC_REMAT/PREQUANT) so the anatomy measured here is the anatomy
+of the headline bench config, not of library defaults."""
 
 import os
 import sys
@@ -22,8 +26,15 @@ from sam3_lora_tpu.train.trainer import (
     split_trainable,
 )
 
-B = int(os.environ.get("B", "4"))
+B = int(os.environ.get("B", os.environ.get("BENCH_BATCH", "8")))
 REPS = int(os.environ.get("REPS", "5"))
+
+
+def _enc_remat_env():
+    v = os.environ.get("BENCH_ENC_REMAT", "1")
+    if v not in ("0", "1", "ffn"):
+        raise SystemExit(f"BENCH_ENC_REMAT must be 0|1|ffn, got {v!r}")
+    return v
 
 
 def _fetch(out):
@@ -49,7 +60,15 @@ def bench_fn(name, fn, *args):
 
 
 def main():
-    cfg = ModelConfig(dtype="bfloat16")
+    cfg = ModelConfig(
+        dtype="bfloat16",
+        param_dtype=os.environ.get("BENCH_PARAM_DTYPE", "bfloat16"),
+        base_quant=os.environ.get("BENCH_QUANT", "int8"),
+        vit_remat_policy=os.environ.get("BENCH_REMAT", "windows_only"),
+        enc_remat=_enc_remat_env() == "1",
+        enc_remat_ffn=_enc_remat_env() == "ffn",
+        dec_remat=os.environ.get("BENCH_DEC_REMAT", "0") == "1",
+    )
     lcfg = LoRAConfig(
         rank=32, alpha=64.0,
         target_modules=("q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2",
@@ -65,6 +84,11 @@ def main():
     batch_e = batch_t.replace(targets=None)
     params = init_model_fast(model)
     trainable, frozen = split_trainable(params)
+    if cfg.base_quant != "none" and os.environ.get("BENCH_PREQUANT", "1") == "1":
+        from sam3_lora_tpu.ops.quant import prequantize_base
+
+        frozen = prequantize_base(frozen, min_dim=cfg.base_quant_min_dim)
+        params = merge_trainable(trainable, frozen)
 
     # 1. ViT trunk forward only
     vit_fwd = jax.jit(
