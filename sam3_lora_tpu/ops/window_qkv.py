@@ -163,7 +163,13 @@ def _bwd_rope(qkv_ref, do_ref, cos_ref, sin_ref, dqkv_ref, *, heads, scale):
 # ---------------------------------------------------------------------------
 
 _PARALLEL2 = pltpu.CompilerParams(
-    dimension_semantics=("parallel", "parallel")
+    dimension_semantics=("parallel", "parallel"),
+    # Mosaic's default scoped-VMEM cap is 16 MB; the fully-unrolled 2-head
+    # program's softmax temporaries measured 18.21 MB on v5e (the stack does
+    # not reuse slots across the unrolled head loop). v5e has 128 MB VMEM and
+    # the pipeline buffers here are <2 MB, so raising the per-kernel budget is
+    # strictly better than splitting below 128-lane block granularity.
+    vmem_limit_bytes=64 * 1024 * 1024,
 )
 
 
