@@ -55,18 +55,27 @@ def main():
 
     batch_size = int(os.environ.get("BENCH_BATCH", "8"))
     accum = int(os.environ.get("BENCH_ACCUM", "1"))
-    steps = int(os.environ.get("BENCH_STEPS", "10"))
-    n_chips = max(1, len(jax.devices()))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    # Steps per host-fetch barrier. The axon tunnel ignores
+    # block_until_ready, so a scalar fetch is the only reliable barrier —
+    # but it costs a full HTTP round-trip (scripts/probe_rtt.py measures
+    # it). Fetching once per GROUP of steps amortizes that RTT out of the
+    # per-step number while keeping enough samples for a robust median.
+    group = max(1, int(os.environ.get("BENCH_GROUP", "4")))
 
     if os.environ.get("BENCH_TINY") == "1":
         # CPU smoke mode: validates the bench harness itself (incl. the real
-        # data pipeline loop) without the 848M model / TPU
+        # data pipeline loop) without the 848M model / TPU. sitecustomize
+        # force-prefers the axon platform, so pin CPU explicitly (the env
+        # var alone is ignored once jax is imported).
+        jax.config.update("jax_platforms", "cpu")
         from sam3_lora_tpu.config import tiny_model_config
 
         cfg = tiny_model_config()
         run_tiny = True
     else:
         run_tiny = False
+    n_chips = max(1, len(jax.devices()))
     cfg = cfg if run_tiny else ModelConfig(
         dtype="bfloat16",
         # Frozen-base storage dtype. Compute is bf16 either way, so bf16
@@ -78,7 +87,9 @@ def main():
         # base (no train/serve mismatch), measured +2.9% on top of
         # windows_only remat (2.722 -> 2.80 img/s/chip, v5e bs8).
         base_quant=os.environ.get("BENCH_QUANT", "int8"),
-        vit_remat_policy=os.environ.get("BENCH_REMAT", "windows_only"),
+        # wo_block_mid (windows_only globals + block_mid windowed blocks)
+        # measured 3.135 vs 2.99 windows_only on v5e bs8 (PARITY session 6)
+        vit_remat_policy=os.environ.get("BENCH_REMAT", "wo_block_mid"),
         # "1" = full layer remat (default), "0" = no remat (flash residuals
         # saved), "ffn" = remat only the FFN sub-block (attention unrematted)
         enc_remat=_enc_remat_env() == "1",
@@ -125,14 +136,8 @@ def main():
     step = make_train_step(model, tx, LossConfig(), accum=accum)
 
     key = jax.random.PRNGKey(1)
-    # warmup / compile. NOTE: through the axon TPU tunnel block_until_ready
-    # returns before the computation actually runs; a host fetch of a scalar
-    # is the only reliable barrier. Steps chain through `trainable`, so one
-    # final fetch forces the whole timed sequence.
-    trainable, opt_state, losses = step(trainable, frozen, opt_state, batch, key)
-    float(np.asarray(losses["core_loss"]))
 
-    def _summarize(step_times):
+    def _summarize(per_step_times):
         """Median per-step statistics: robust to one-core host contention.
 
         Round 2 lost its headline to this: the driver recorded 2.17 while the
@@ -141,7 +146,7 @@ def main():
         the honest device-rate signal; min/max + spread are reported so a
         contaminated run is visible in the JSON instead of silent.
         """
-        ts = sorted(step_times)
+        ts = sorted(per_step_times)
         n = len(ts)
         med = ts[n // 2] if n % 2 else 0.5 * (ts[n // 2 - 1] + ts[n // 2])
         spread = (ts[-1] - ts[0]) / med if med else 0.0
@@ -149,26 +154,32 @@ def main():
             "step_time_median_s": round(med, 4),
             "step_time_min_s": round(ts[0], 4),
             "step_time_max_s": round(ts[-1], 4),
+            "steps_per_fetch": group,
         }
         if spread > 0.2:
             out["contended"] = True
         return med, out
 
     extra = {}
-    if os.environ.get("BENCH_DATA", "synthetic") == "real":
+    real = os.environ.get("BENCH_DATA", "synthetic") == "real"
+    if real:
         # drive the REAL input pipeline: 1008^2 JPEGs + polygon masks on disk,
-        # threaded decode/rasterize/collate overlapping device compute
-        import tempfile
-
+        # threaded decode/rasterize/collate, bit-packed bool masks on the
+        # wire and async H2D transfer overlapping device compute
+        # (train/prefetch.py) — the production trainer path.
         from sam3_lora_tpu.train.data import (
             COCOSegmentDataset,
             DataLoader,
             make_synthetic_coco,
         )
+        from sam3_lora_tpu.train.prefetch import prefetch_to_device
 
         workers = int(os.environ.get("BENCH_WORKERS", "8"))
-        n_imgs = batch_size * (steps + 2)
-        root = os.environ.get("BENCH_DATA_DIR") or tempfile.mkdtemp(prefix="benchds_")
+        n_imgs = batch_size * (steps + 3)
+        # stable default dir so re-runs skip the one-time JPEG generation
+        root = os.environ.get("BENCH_DATA_DIR") or (
+            f"/tmp/benchds_{cfg.img_size}_{n_imgs}"
+        )
         if not os.path.exists(os.path.join(root, "train", "_annotations.coco.json")):
             make_synthetic_coco(root, "train", num_images=n_imgs, img_size=cfg.img_size)
         ds = COCOSegmentDataset(root, "train", model_config=cfg)
@@ -176,35 +187,40 @@ def main():
             ds, batch_size, shuffle=False, num_workers=workers,
             prefetch=3, drop_last=True,
         )
-        it = iter(loader.epoch(0))
-        b = next(it)  # spin up the decode pool outside the timed region
-        t_data = 0.0
-        step_times = []
-        for i in range(steps):
-            t0 = time.time()
-            key, sub = jax.random.split(key)
-            trainable, opt_state, losses = step(trainable, frozen, opt_state, b, sub)
-            # host fetch = the only reliable barrier through the axon tunnel
-            float(np.asarray(losses["core_loss"]))
-            step_times.append(time.time() - t0)
-            if i + 1 < steps:
+        it = prefetch_to_device(iter(loader.epoch(0)), size=2, pack_bool=True)
+        # warm up with a REAL batch: a synthetic warmup batch can differ in
+        # dtype/layout and silently recompile on the first timed step (seen
+        # on v5e: one 400 s "step" in an otherwise 3.3 s run)
+        batch = next(it)
+    t_data = 0.0
+
+    # warmup / compile. NOTE: through the axon TPU tunnel block_until_ready
+    # returns before the computation actually runs; a host fetch of a scalar
+    # is the only reliable barrier. Steps chain through `trainable`, so one
+    # fetch forces everything dispatched before it.
+    trainable, opt_state, losses = step(trainable, frozen, opt_state, batch, key)
+    float(np.asarray(losses["core_loss"]))
+
+    group_times = []
+    for _ in range(max(1, steps // group)):
+        t0 = time.time()
+        for _ in range(group):
+            if real:
                 td = time.time()
-                b = next(it)
+                batch = next(it)
                 t_data += time.time() - td
-        med, stats = _summarize(step_times)
-        img_per_s_per_chip = batch_size / med / n_chips
-        extra = {"data_time_s": round(t_data, 3), "pipeline": "real", **stats}
-    else:
-        step_times = []
-        for i in range(steps):
-            t0 = time.time()
             key, sub = jax.random.split(key)
-            trainable, opt_state, losses = step(trainable, frozen, opt_state, batch, sub)
-            float(np.asarray(losses["core_loss"]))
-            step_times.append(time.time() - t0)
-        med, stats = _summarize(step_times)
-        img_per_s_per_chip = batch_size / med / n_chips
-        extra = stats
+            trainable, opt_state, losses = step(
+                trainable, frozen, opt_state, batch, sub
+            )
+        # one barrier per group; the steps in between chain on `trainable`
+        float(np.asarray(losses["core_loss"]))
+        group_times.append((time.time() - t0) / group)
+    med, stats = _summarize(group_times)
+    img_per_s_per_chip = batch_size / med / n_chips
+    extra = {**stats}
+    if real:
+        extra = {"data_time_s": round(t_data, 3), "pipeline": "real", **stats}
 
     print(
         json.dumps(

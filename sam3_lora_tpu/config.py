@@ -314,6 +314,11 @@ class TrainConfig:
     # absent categories become empty-target "concept absent" queries.
     per_category_queries: bool = False
     include_negatives: bool = False
+    # Batches whose host->device transfer is started ahead of the step that
+    # consumes them (train/prefetch.py) — the reference's pin_memory +
+    # non_blocking copy overlap (train_sam3_lora_native.py:823-843). 0
+    # disables (synchronous shard_batch placement per step).
+    device_prefetch: int = 2
 
     @staticmethod
     def from_yaml_dict(cfg: Dict[str, Any]) -> "TrainConfig":

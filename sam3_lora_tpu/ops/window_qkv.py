@@ -52,9 +52,11 @@ from .rope import apply_rope_half, apply_rope_half_inv
 
 
 # Consume the qkv projection output directly (zero relayouts in the whole
-# attention chain). Default ON; SAM3_WINDOW_QKV_NATIVE=0 restores the
-# head-pair-packed (B*H/2, L, 2D) chain for A/B runs.
-QKV_NATIVE = os.environ.get("SAM3_WINDOW_QKV_NATIVE", "1") == "1"
+# attention chain). Default OFF: measured on v5e bs8 wo_block_mid, the
+# qkv-native chain at FWD_SPLIT=4 ran 3.17 s/step vs the head-pair-packed
+# chain's 2.55 s — the relayout saving did not beat the packed kernel's
+# schedule. SAM3_WINDOW_QKV_NATIVE=1 enables it for A/B runs.
+QKV_NATIVE = os.environ.get("SAM3_WINDOW_QKV_NATIVE", "0") == "1"
 
 # Head-axis grid splits (see module docstring). Defaults leave 2 heads per
 # program at the production 16-head config.

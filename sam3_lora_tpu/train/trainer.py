@@ -337,10 +337,24 @@ class Trainer:
             t_epoch = time.time()
             t_data = 0.0
             t_iter = time.time()
+            # device prefetch: start batch i+1's H2D transfer (bit-packed
+            # bool masks on the single-device wire) while step i computes
+            stream = train_loader.epoch(epoch)
+            if self.tcfg.device_prefetch > 0:
+                from .prefetch import prefetch_to_device
+
+                multi = self.mesh.devices.size > 1
+                stream = prefetch_to_device(
+                    stream,
+                    size=self.tcfg.device_prefetch,
+                    sharding=batch_sharding(self.mesh) if multi else None,
+                    pack_bool=not multi,
+                )
             with self.mesh:
-                for batch in train_loader.epoch(epoch):
+                for batch in stream:
                     t_data += time.time() - t_iter
-                    batch = shard_batch(batch, self.mesh)
+                    if self.tcfg.device_prefetch <= 0:
+                        batch = shard_batch(batch, self.mesh)
                     self.rng, sub = jax.random.split(self.rng)
                     (
                         self.state.trainable,
