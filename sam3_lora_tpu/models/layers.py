@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Any, Callable, Optional, Tuple
 
 import jax
@@ -31,6 +32,12 @@ from flax import linen as nn
 
 from ..config import LoRAConfig, ModelConfig
 from ..ops.attention import dot_product_attention, make_attention_bias, merge_heads, split_heads
+
+# Checkpoint the fusion encoder's 5184-token flash self-attention: backward
+# saves only bf16 q/k/v and re-runs the flash forward, instead of the library
+# kernel's ~190 MB/layer 128-lane-tiled f32 stats + padded copies. Pairs with
+# BENCH_ENC_REMAT=ffn (FFN-only layer remat) to fit where full-save OOM'd.
+ENC_FLASH_REMAT = os.environ.get("SAM3_ENC_FLASH_REMAT", "0") == "1"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -436,7 +443,7 @@ class MultiHeadAttention(nn.Module):
             # every short sequence.
             out = dot_product_attention(
                 qh, kh, vh, bias=attn_bias, key_padding_mask=key_padding_mask,
-                impl="pallas",
+                impl="pallas", remat=ENC_FLASH_REMAT,
             )
             keep = 1.0 - self.dropout
             mask = jax.random.bernoulli(self.make_rng("dropout"), keep, out.shape)
@@ -447,6 +454,7 @@ class MultiHeadAttention(nn.Module):
             out = dot_product_attention(
                 qh, kh, vh, bias=attn_bias, key_padding_mask=key_padding_mask,
                 impl="pallas" if long_seq else "xla",
+                remat=long_seq and ENC_FLASH_REMAT,
             )
         out = merge_heads(out)
         return LoRALinear(d, self.spec, name="out_proj")(out, train=train)

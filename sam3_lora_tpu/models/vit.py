@@ -35,6 +35,11 @@ from flax import linen as nn
 from ..ops.attention import dot_product_attention, merge_heads, split_heads
 from ..ops.rope import apply_rope_half, compute_axial_freqs, rope_half_perm
 from ..ops.windows import window_partition, window_unpartition
+
+# Checkpoint the 4 global blocks' flash attention (see the call site below).
+GLOBAL_FLASH_REMAT = (
+    __import__("os").environ.get("SAM3_GLOBAL_FLASH_REMAT", "0") == "1"
+)
 from .layers import LayerNorm, LoRALinear, Spec, lecun_trunc_normal
 
 
@@ -192,7 +197,12 @@ class Attention(nn.Module):
                 q = apply_rope_half(q, cos, sin)
                 k = apply_rope_half(k, cos, sin)
         out = dot_product_attention(
-            q, k, v, impl=impl, rope_cos=rope_cos, rope_sin=rope_sin
+            q, k, v, impl=impl, rope_cos=rope_cos, rope_sin=rope_sin,
+            # global blocks: trade one flash-forward replay in the backward
+            # for ~370 MB/block of 128-lane-tiled f32 stats + padded copies
+            # the library kernel would otherwise save (4 unrematted global
+            # blocks under windows_only/wo_block_mid ~= 3-4 GB of HBM)
+            remat=(impl == "pallas" and GLOBAL_FLASH_REMAT),
         )
         out = merge_heads(out)
         out = LoRALinear(dim, self.spec, name="proj")(out, train=train)

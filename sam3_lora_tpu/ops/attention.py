@@ -53,6 +53,7 @@ def dot_product_attention(
     impl: str = "xla",
     rope_cos: Optional[jnp.ndarray] = None,
     rope_sin: Optional[jnp.ndarray] = None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Scaled dot-product attention over (B, H, L, Dh) tensors.
 
@@ -60,14 +61,29 @@ def dot_product_attention(
     rotate-half channel layout and the RoPE rotation is applied here — fused
     into the window kernel on TPU, as a separate ``apply_rope_half`` pass
     otherwise. Only ``impl="window"`` accepts them.
+
+    ``remat=True`` (``impl="pallas"`` only) checkpoints the flash call: the
+    backward saves just the bf16 q/k/v inputs and re-runs the flash forward.
+    The library kernel's residuals are FAT — its softmax stats l/m are
+    stored 128-lane-tiled f32 (B, H, Lpad, 128), i.e. 128x the information
+    content, plus padded input copies — ~370 MB per ViT global block and
+    ~190 MB per fusion-encoder layer at bs8. Trading one flash forward
+    replay for that HBM lets otherwise-OOM remat configs (enc FFN-only
+    remat) fit.
     """
     if impl == "pallas":
         from .pallas_attention import flash_attention
 
         assert rope_cos is None
-        return flash_attention(
-            q, k, v, bias=bias, key_padding_mask=key_padding_mask, scale=scale
-        )
+
+        def _flash(q, k, v, bias, kpm):
+            return flash_attention(
+                q, k, v, bias=bias, key_padding_mask=kpm, scale=scale
+            )
+
+        if remat:
+            _flash = jax.remat(_flash)
+        return _flash(q, k, v, bias, key_padding_mask)
     if impl == "window":
         # fused whole-window kernel (no mask/bias support by design)
         from .pallas_attention import _is_tpu_backend

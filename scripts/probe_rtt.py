@@ -8,13 +8,18 @@ each, and prints medians — the constant to subtract when sanity-checking
 bench.py's pipelined-fetch methodology.
 """
 
+import functools
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-REPS = 50
+# line-buffer stdout: under `timeout` in a queue, unflushed output is lost
+# on SIGTERM (the first queue-F run timed out and recorded nothing)
+print = functools.partial(print, flush=True)
+
+REPS = int(__import__("os").environ.get("RTT_REPS", "20"))
 
 
 def med(ts):
@@ -28,7 +33,9 @@ def main():
     print("device:", dev)
 
     x = jax.device_put(jnp.float32(1.5), dev)
+    print("warming fetch path...")
     float(np.asarray(x))  # warm the path
+    print("warm fetch done")
     ts = []
     for _ in range(REPS):
         t0 = time.time()
