@@ -113,6 +113,21 @@ def main():
     floss = jax.jit(fwd_loss)
     bench_fn("train_fwd + matching + loss", floss, params, batch_t, jax.random.PRNGKey(0))
 
+    # 3b. forward+backward WITHOUT the optimizer update: isolates the
+    # grad computation from clip-by-global-norm + masked AdamW + donation
+    # copies (full-step time minus this = the update tail)
+    def fwd_bwd(tr, fr, b, key):
+        def loss_fn(t):
+            p = merge_trainable(t, fr)
+            out = model.apply({"params": p}, b, train=True, rngs={"dropout": key})
+            return compute_losses(out, b.targets, LossConfig())["core_loss"]
+
+        return jax.value_and_grad(loss_fn)(tr)
+
+    fb = jax.jit(fwd_bwd)
+    bench_fn("train fwd+bwd (no opt)", fb, trainable, frozen, batch_t,
+             jax.random.PRNGKey(0))
+
     # 4. full train step (fwd+bwd+opt). The step donates (trainable,
     # opt_state), so reps must thread the outputs back in — passing the same
     # arrays twice reuses donated buffers (INVALID_ARGUMENT on TPU).
