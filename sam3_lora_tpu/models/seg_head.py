@@ -82,12 +82,18 @@ class UniversalSegmentationHead(nn.Module):
         mask_embed = MLP(d, d, 3, sp, name="mask_predictor.mask_embed")(
             obj_queries, train=train
         )
+        # f32 MXU accumulation, but STORE the mask logits at the compute dtype:
+        # the f32 output was a 540 MB HLO temp at bs8/v5e (r3 queue H dump) and
+        # its residual doubles backward memory. The reference's AMP autocast
+        # produces bf16 mask logits here too (torch einsum under autocast);
+        # the loss upcasts to f32 elementwise (train/losses.py), which XLA
+        # fuses into the focal/dice chain without materializing an f32 copy.
         pred_masks = jnp.einsum(
             "bqc,bchw->bqhw",
             mask_embed.astype(sp.dtype),
             instance_embeds.astype(sp.dtype),
             preferred_element_type=jnp.float32,
-        )
+        ).astype(sp.dtype)
         return {
             "pred_masks": pred_masks,
             "semantic_seg": semantic_seg,

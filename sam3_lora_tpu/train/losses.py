@@ -181,10 +181,14 @@ def masks_loss(
         z = jnp.float32(0.0)
         return {"loss_mask": z, "loss_dice": z}
     gt = targets.masks
-    # broadcast GT over the o2m K axis if present
+    # Keep GT at its UNEXPANDED shape (B, T, 1, H, W) over the o2m K axis and
+    # reduce over the trailing (H, W) axes directly: an explicit broadcast_to
+    # + reshape here materialized the K-expanded GT as three live f32
+    # [B, T, K, H, W] copies (3 x 432 MB at bs8) across the remat boundary —
+    # the allocations that pushed the v5e r3 queue H/I configs out of HBM.
+    # Elementwise ops broadcast lazily, so the math below is identical.
     while gt.ndim < pred_masks.ndim:
         gt = jnp.expand_dims(gt, 2)
-    gt = jnp.broadcast_to(gt, pred_masks.shape[:-2] + gt.shape[-2:])
     if pred_masks.shape[-2:] != gt.shape[-2:]:
         pred_masks = resize_bilinear(pred_masks.astype(jnp.float32), gt.shape[-2:])
     mv = targets.mask_valid
@@ -192,13 +196,14 @@ def masks_loss(
         mv = jnp.expand_dims(mv, -1)
     w = (pair_valid & jnp.broadcast_to(mv, pair_valid.shape)).astype(jnp.float32)
 
-    flat_pred = pred_masks.reshape(pred_masks.shape[:-2] + (-1,)).astype(jnp.float32)
-    flat_gt = gt.reshape(gt.shape[:-2] + (-1,)).astype(jnp.float32)
-    fl = sigmoid_focal_loss(flat_pred, flat_gt, cfg.alpha, cfg.gamma)
-    loss_mask = (fl.mean(-1) * w).sum() / num_boxes
-    inputs = jax.nn.sigmoid(flat_pred)
-    numer = 2.0 * (inputs * flat_gt).sum(-1)
-    denom = inputs.sum(-1) + flat_gt.sum(-1)
+    pred = pred_masks.astype(jnp.float32)
+    gt = gt.astype(jnp.float32)
+    hw = (-2, -1)
+    fl = sigmoid_focal_loss(pred, gt, cfg.alpha, cfg.gamma)
+    loss_mask = (fl.mean(hw) * w).sum() / num_boxes
+    inputs = jax.nn.sigmoid(pred)
+    numer = 2.0 * (inputs * gt).sum(hw)
+    denom = inputs.sum(hw) + gt.sum(hw)  # gt sum broadcasts over K
     dl = 1.0 - (numer + 1.0) / (denom + 1.0)
     loss_dice = (dl * w).sum() / num_boxes
     return {"loss_mask": loss_mask, "loss_dice": loss_dice}
