@@ -28,7 +28,13 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["evaluate_hota", "evaluate_clear_mot", "evaluate_track_map", "track_iou"]
+__all__ = [
+    "evaluate_hota",
+    "evaluate_clear_mot",
+    "evaluate_track_map",
+    "evaluate_teta",
+    "track_iou",
+]
 
 
 def _iou(a, b) -> float:
@@ -331,3 +337,189 @@ def evaluate_track_map(
         "track_mAP_50": float(aps[np.argmin(np.abs(iou_thrs - 0.5))]),
         "track_mAP_75": float(aps[np.argmin(np.abs(iou_thrs - 0.75))]),
     }
+
+# ---------------------------------------------------------------------------
+# TETA (Track Every Thing Accuracy)
+# ---------------------------------------------------------------------------
+
+
+def _teta_build_data(gt_tracks: Dict, pred_tracks: Dict) -> Dict:
+    """Build the TETA toolkit-shaped ``data`` dict for ONE single-class
+    sequence from in-memory tracks.
+
+    The reference vendors only the TETA *metric* class
+    (sam3/eval/teta_eval_toolkit/metrics/teta.py, 419 LoC); the toolkit's
+    ``datasets`` preprocessing module is missing from the vendored package
+    (``teta_eval_toolkit/__init__.py:4`` imports it, so the reference's own
+    saco_veval TETA path cannot even import as shipped). This builder
+    therefore re-derives the preprocessing from the metric's consumption of
+    the dict and the TETA paper (Li et al., ECCV 2022): tracker dets that
+    overlap NO ground truth at a timestep are excluded from the localization
+    false-positive pool (``tk_overlap_ids``) — TETA never punishes
+    localization for detections outside the evaluated class's neighbourhood.
+    The metric math downstream of this dict is cross-validated at 1e-12
+    against the vendored class by tests/test_eval_crosscheck.py.
+    """
+    gt_keys = sorted(gt_tracks.keys())
+    pr_keys = sorted(pred_tracks.keys())
+    frames = _frames({**{f"g{k}": v for k, v in gt_tracks.items()},
+                      **{f"p{k}": v for k, v in pred_tracks.items()}})
+    data: Dict = {
+        "num_timesteps": len(frames),
+        "num_gt_ids": len(gt_keys),
+        "num_tk_ids": len(pr_keys),
+        "gt_id_map": {i: k for i, k in enumerate(gt_keys)},
+        "tk_id_map": {i: k for i, k in enumerate(pr_keys)},
+        "gt_ids": [], "tk_ids": [], "tk_overlap_ids": [],
+        "tk_class_eval_tk_ids": [], "sim_scores": [],
+        "gt_classes": [], "tk_classes": [],
+    }
+    num_gt_dets = num_tk_overlap_dets = num_tk_cls_dets = 0
+    for f in frames:
+        gi = np.asarray([i for i, g in enumerate(gt_keys) if f in gt_tracks[g]], int)
+        pi = np.asarray([j for j, p in enumerate(pr_keys) if f in pred_tracks[p]], int)
+        sim = np.zeros((len(gi), len(pi)))
+        for a, i in enumerate(gi):
+            for b, j in enumerate(pi):
+                sim[a, b] = _iou(gt_tracks[gt_keys[i]][f], pred_tracks[pr_keys[j]][f])
+        overlap = pi[sim.max(axis=0) > 0] if len(gi) and len(pi) else pi[:0]
+        data["gt_ids"].append(gi)
+        data["tk_ids"].append(pi)
+        data["tk_overlap_ids"].append(overlap)
+        data["tk_class_eval_tk_ids"].append(pi)
+        data["sim_scores"].append(sim)
+        data["gt_classes"].append(1)                       # single class
+        data["tk_classes"].append(np.ones(len(pi), int))
+        num_gt_dets += len(gi)
+        num_tk_overlap_dets += len(overlap)
+        num_tk_cls_dets += len(pi)
+    data["num_gt_dets"] = num_gt_dets
+    data["num_tk_overlap_dets"] = num_tk_overlap_dets
+    data["num_tk_cls_dets"] = num_tk_cls_dets
+    return data
+
+
+def _teta_finalize(res: Dict) -> Dict:
+    """teta.py:363-391 _compute_final_fields (single sequence)."""
+    res["LocRe"] = res["Loc_TP"] / np.maximum(1, res["Loc_TP"] + res["Loc_FN"])
+    res["LocPr"] = res["Loc_TP"] / np.maximum(1, res["Loc_TP"] + res["Loc_FP"])
+    res["LocA"] = res["Loc_TP"] / np.maximum(
+        1, res["Loc_TP"] + res["Loc_FN"] + res["Loc_FP"])
+    cls_re = res["Cls_TP"] / np.maximum(1, res["Cls_TP"] + res["Cls_FN"])
+    cls_pr = res["Cls_TP"] / np.maximum(1, res["Cls_TP"] + res["Cls_FP"])
+    cls_a = res["Cls_TP"] / np.maximum(
+        1, res["Cls_TP"] + res["Cls_FN"] + res["Cls_FP"])
+    res["ClsRe"] = np.mean(cls_re)
+    res["ClsPr"] = np.mean(cls_pr)
+    res["ClsA"] = np.mean(cls_a)
+    res["TETA"] = (res["LocA"] + res["AssocA"] + res["ClsA"]) / 3
+    return res
+
+
+def evaluate_teta(
+    gt_tracks: Dict,
+    pred_tracks: Dict,
+    thr: int = 50,
+) -> Dict[str, float]:
+    """TETA (Li et al., ECCV 2022) for one single-class sequence: the mean
+    over 20 alpha labels (0.00..0.95) of (LocA + AssocA + ClsA)/3, where
+    localization false positives are restricted to tracker dets overlapping
+    some GT with IoU >= thr/100 (teta.py:136), association re-scores matched
+    pair counts Jaccard-style exactly like HOTA, and classification (trivial
+    single-class here) counts matches at alpha >= 0.5.
+
+    Matches the vendored oracle sam3/eval/teta_eval_toolkit/metrics/teta.py
+    ``eval_sequence_single_thr`` (exhaustive=False) field-for-field — see
+    tests/test_eval_crosscheck.py. Scalars are fractions (the toolkit's
+    summary rows are 100x these, _base_metric.py:88-96).
+    """
+    eps = np.finfo("float").eps
+    data = _teta_build_data(gt_tracks, pred_tracks)
+    array_labels = np.arange(0.0, 0.99, 0.05)
+    cls_labels = np.arange(0.5, 0.99, 0.05)
+    n_a, n_c = len(array_labels), len(cls_labels)
+
+    res: Dict = {}
+    for f in ("Loc_TP", "Loc_FN", "Loc_FP"):
+        res[f] = np.zeros(n_a)
+    for f in ("Cls_TP", "Cls_FN", "Cls_FP"):
+        res[f] = np.zeros(n_c)
+    res["AssocA"] = np.zeros(n_a)
+    res["AssocRe"] = np.zeros(n_a)
+    res["AssocPr"] = np.zeros(n_a)
+
+    def _scalars(r):
+        out = {k + "_array": v for k, v in r.items()}
+        for k in ("TETA", "LocA", "AssocA", "ClsA", "LocRe", "LocPr",
+                  "AssocRe", "AssocPr", "ClsRe", "ClsPr"):
+            out[k] = float(np.mean(r[k]))
+        return out
+
+    # empty-side early returns (teta.py:86-103)
+    if data["num_tk_overlap_dets"] == 0:
+        res["Loc_FN"] = data["num_gt_dets"] * np.ones(n_a)
+        return _scalars(_teta_finalize(res))
+    if data["num_gt_dets"] == 0:
+        return _scalars(_teta_finalize(res))
+
+    # global alignment score (teta.py:184-207), shared with the HOTA pass
+    n_gt, n_tk = data["num_gt_ids"], data["num_tk_ids"]
+    num_matches = np.zeros((n_gt, n_tk))
+    gt_id_count = np.zeros((n_gt, 1))
+    tk_id_count = np.zeros((1, n_tk))
+    for gi, pi, sim in zip(data["gt_ids"], data["tk_ids"], data["sim_scores"]):
+        denom = sim.sum(0, keepdims=True) + sim.sum(1, keepdims=True) - sim
+        sim_iou = np.zeros_like(sim)
+        mask = denom > 0 + eps
+        sim_iou[mask] = sim[mask] / denom[mask]
+        num_matches[gi[:, None], pi[None, :]] += sim_iou
+        gt_id_count[gi] += 1
+        tk_id_count[0, pi] += 1
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ga_score = num_matches / (gt_id_count + tk_id_count - num_matches)
+
+    matches_counts = [np.zeros_like(ga_score) for _ in array_labels]
+    for t, (gt_ids_t, tk_ids_t, overlap_t) in enumerate(
+        zip(data["gt_ids"], data["tk_ids"], data["tk_overlap_ids"])
+    ):
+        if len(gt_ids_t) == 0:
+            continue
+        sim = data["sim_scores"][t]
+        score_mat = ga_score[gt_ids_t[:, None], tk_ids_t[None, :]] * sim
+        rows, cols = _lsap_max(score_mat)
+
+        # FP-L candidate pool: overlap dets with sim >= thr/100 (teta.py:130-141)
+        if len(overlap_t) != 0:
+            sorter = np.argsort(tk_ids_t)
+            indexes = sorter[np.searchsorted(tk_ids_t, overlap_t, sorter=sorter)]
+            sim_t = sim[:, indexes]
+            fpl = overlap_t[(sim_t >= (thr / 100)).any(axis=0)]
+            fpl_ori = set(data["tk_id_map"][tid] for tid in fpl)
+        else:
+            fpl_ori = set()
+
+        for a, alpha in enumerate(array_labels):
+            ok = sim[rows, cols] >= alpha - eps
+            mrow, mcol = rows[ok], cols[ok]
+            nm = len(mrow)
+            matched_ori = set(data["tk_id_map"][tid] for tid in tk_ids_t[mcol])
+            if alpha >= 0.5:
+                # single class: every matched det is class-correct
+                res["Cls_TP"][a - 10] += nm
+            res["Loc_TP"][a] += nm
+            res["Loc_FN"][a] += len(gt_ids_t) - nm
+            res["Loc_FP"][a] += len(fpl_ori - matched_ori)
+            if nm > 0:
+                matches_counts[a][gt_ids_t[mrow], tk_ids_t[mcol]] += 1
+
+    # association scores (teta.py:228-249)
+    for a in range(n_a):
+        mc = matches_counts[a]
+        ass_a = mc / np.maximum(1, gt_id_count + tk_id_count - mc)
+        res["AssocA"][a] = np.sum(mc * ass_a) / np.maximum(1, res["Loc_TP"][a])
+        ass_re = mc / np.maximum(1, gt_id_count)
+        res["AssocRe"][a] = np.sum(mc * ass_re) / np.maximum(1, res["Loc_TP"][a])
+        ass_pr = mc / np.maximum(1, tk_id_count)
+        res["AssocPr"][a] = np.sum(mc * ass_pr) / np.maximum(1, res["Loc_TP"][a])
+
+    return _scalars(_teta_finalize(res))

@@ -452,3 +452,80 @@ def test_hota_matches_vendored_trackeval_empty_pred():
     np.testing.assert_allclose(ours["HOTA_array"], ref["HOTA"], atol=1e-12)
     np.testing.assert_allclose(ours["LocA_array"], ref["LocA"], atol=1e-12)
     assert ours["LocA(0)"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# TETA vs the vendored teta_eval_toolkit metric class
+# ---------------------------------------------------------------------------
+
+
+def _load_vendored_teta():
+    """Import the reference's vendored TETA metric class unmodified.
+
+    The vendored teta_eval_toolkit ships WITHOUT its ``datasets`` module
+    (``__init__.py:4`` imports it, so the package cannot import as shipped
+    and the reference's own saco_veval TETA path is broken); the metric
+    modules themselves are intact and execute their own sources here."""
+    import importlib.util
+    import types
+
+    base = "/root/reference/sam3/eval/teta_eval_toolkit"
+    if not os.path.isdir(base):
+        return None
+    if "teta_tk.metrics.teta" in sys.modules:
+        return sys.modules["teta_tk.metrics.teta"].TETA
+
+    pkg = types.ModuleType("teta_tk")
+    pkg.__path__ = [base]
+    sys.modules["teta_tk"] = pkg
+    mpkg = types.ModuleType("teta_tk.metrics")
+    mpkg.__path__ = [os.path.join(base, "metrics")]
+    sys.modules["teta_tk.metrics"] = mpkg
+    for fq, rel in (
+        ("teta_tk._timing", "_timing.py"),
+        ("teta_tk.utils", "utils.py"),
+        ("teta_tk.metrics._base_metric", "metrics/_base_metric.py"),
+        ("teta_tk.metrics.teta", "metrics/teta.py"),
+    ):
+        spec = importlib.util.spec_from_file_location(fq, os.path.join(base, rel))
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[fq] = mod
+        spec.loader.exec_module(mod)
+    pkg._timing = sys.modules["teta_tk._timing"]
+    pkg.utils = sys.modules["teta_tk.utils"]
+    return sys.modules["teta_tk.metrics.teta"].TETA
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_teta_matches_vendored_toolkit(seed):
+    """evaluate_teta == the vendored TETA class on the SAME data dict.
+
+    The randomized workloads include id switches, fragmentation, gaps, false
+    tracks, empty frames and (seed 3) an empty prediction side."""
+    TETA = _load_vendored_teta()
+    if TETA is None:
+        pytest.skip("reference teta toolkit not present")
+    from sam3_lora_tpu.eval.video_eval import _teta_build_data, evaluate_teta
+
+    gt_tracks, pred_tracks = _make_track_workload(seed)
+    if seed == 3:
+        pred_tracks = {}
+
+    ours = evaluate_teta(gt_tracks, pred_tracks, thr=50)
+
+    metric = TETA(exhaustive=False)
+    data = _teta_build_data(gt_tracks, pred_tracks)
+    cls_fp = {"crack": np.zeros(len(metric.cls_array_labels))}
+    ref, _, _ = metric.eval_sequence_single_thr(
+        data, "crack", {1: "crack"}, cls_fp, 50
+    )
+
+    for field in ("TETA", "LocA", "AssocA", "ClsA", "LocRe", "LocPr",
+                  "AssocRe", "AssocPr"):
+        np.testing.assert_allclose(
+            ours[field + "_array"], ref[field], atol=1e-12,
+            err_msg=f"TETA field {field} diverges from the vendored oracle",
+        )
+    for field in ("Loc_TP", "Loc_FN", "Loc_FP", "Cls_TP", "Cls_FN", "Cls_FP"):
+        np.testing.assert_array_equal(ours[field + "_array"], ref[field])
+    np.testing.assert_allclose(ours["TETA"], float(np.mean(ref["TETA"])), atol=1e-12)
