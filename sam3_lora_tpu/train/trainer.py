@@ -338,7 +338,8 @@ class Trainer:
             t_data = 0.0
             t_iter = time.time()
             # device prefetch: start batch i+1's H2D transfer (bit-packed
-            # bool masks on the single-device wire) while step i computes
+            # bool masks on the wire; per-row packing keeps them
+            # batch-shardable on a multi-chip mesh) while step i computes
             stream = train_loader.epoch(epoch)
             if self.tcfg.device_prefetch > 0:
                 from .prefetch import prefetch_to_device
@@ -348,7 +349,7 @@ class Trainer:
                     stream,
                     size=self.tcfg.device_prefetch,
                     sharding=batch_sharding(self.mesh) if multi else None,
-                    pack_bool=not multi,
+                    pack_bool=True,
                 )
             with self.mesh:
                 for batch in stream:

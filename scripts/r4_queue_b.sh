@@ -32,4 +32,8 @@ for ms in 0 1; do for nm in 0 1; do for fr in 0 1; do
     SAM3_WINDOW_MXU_SUM=$ms SAM3_WINDOW_NO_MAX=$nm SAM3_WINDOW_FUSE_ROPE=$fr \
     python scripts/sweep_window.py
 done; done; done
+
+# serving latency-throughput table, bs 1/2/4/8 x bf16/int8 (VERDICT r3 #9)
+run "SERVE_SWEEP" 3600 env INFER_BATCH=1,2,4,8 INFER_QUANT=none,int8 \
+  python scripts/bench_infer.py
 echo "=== QUEUE B DONE $(date) ===" >> "$log"
