@@ -22,10 +22,13 @@ run() {  # run <label> <timeout> <cmd...>
   echo "--- rc=$? $(date) ---" >> "$log"
 }
 
+# highest-leverage first: the re-baseline (driver config on the fixed code)
+# and the int8 dx-GEMM tier (bwd is ~1.72 s of the 2.52 s step and int8 GEMMs
+# measured 1.43x bf16 at op level — the largest untested step-time lever)
 run "DEFAULTS_R4FIX" 2400 python bench.py
+run "INT8_BWD" 2400 env BENCH_QUANT=int8_bwd python bench.py
 run "ENC_FFN_FLASH" 2400 env BENCH_ENC_REMAT=ffn SAM3_ENC_FLASH_REMAT=1 python bench.py
 run "BS10_GFR" 2400 env BENCH_BATCH=10 SAM3_GLOBAL_FLASH_REMAT=1 python bench.py
-run "INT8_BWD" 2400 env BENCH_QUANT=int8_bwd python bench.py
 
 for ms in 0 1; do for nm in 0 1; do for fr in 0 1; do
   run "WSWEEP ms=$ms nm=$nm fr=$fr" 900 env \
