@@ -94,6 +94,23 @@ _NO_MAX = os.environ.get("SAM3_WINDOW_NO_MAX", "0") == "1"
 # head-grouped layout.
 _PACKED = os.environ.get("SAM3_WINDOW_PACKED", "1") == "1"
 
+# Window-pairs per program for the packed kernels. Larger blocks mean larger
+# contiguous DMA bursts (the forward is DMA-bound: scripts/probe_dma_floor.py
+# measured the pure-copy stage at 3.6 ms of a 4.15 ms fwd) and fewer program
+# launches, at the cost of scoped-VMEM growth — each (window, head) iteration
+# of the unrolled in-kernel loop holds a 576^2 fp32 score matrix (1.33 MB)
+# that Mosaic's stack does not reuse across unrolled iterations (see
+# window_qkv.py). Swept via SAM3_WINDOW_WPP under the raised VMEM budget.
+_WPP = max(1, int(os.environ.get("SAM3_WINDOW_WPP", "2")))
+
+
+def _wpp_for(n: int) -> int:
+    """Largest usable windows-per-program for an n-window grid: the configured
+    _WPP when it divides n, else the old 2/1 fallback."""
+    if n % _WPP == 0:
+        return _WPP
+    return 2 if n % 2 == 0 else 1
+
 _LOG2E = 1.4426950408889634
 
 # Tests set this to run the kernels off-TPU via the Pallas interpreter.
@@ -435,6 +452,15 @@ def _rope_specs(l, d2):
 # iteration's DMA with this iteration's compute far more aggressively.
 _PARALLEL = pltpu.CompilerParams(dimension_semantics=("parallel",))
 
+# Packed kernels at wpp > 2 exceed Mosaic's default 16 MB scoped-VMEM cap
+# (unrolled per-head score temporaries are not slot-reused); v5e has 128 MB
+# VMEM and the pipeline buffers stay small, so raise the per-kernel budget
+# (same rationale as window_qkv.py::_PARALLEL2).
+_PARALLEL_BIG = pltpu.CompilerParams(
+    dimension_semantics=("parallel",),
+    vmem_limit_bytes=96 * 1024 * 1024,
+)
+
 
 def _window_pallas(kernel, scale, tensors, tables, n_outputs):
     """Shared pallas_call boilerplate for every window kernel: head-grouped
@@ -520,7 +546,7 @@ def _window_pallas_packed(kernel, scale, tensors, tables, n_outputs):
     b, h, l, d = tensors[0].shape
     packed = [_pack(t) for t in tensors]
     n = packed[0].shape[0]
-    wpp = 2 if n % 2 == 0 else 1
+    wpp = _wpp_for(n)
     spec = pl.BlockSpec((wpp, l, 2 * d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out_shape = [
         jax.ShapeDtypeStruct(packed[0].shape, t.dtype)
@@ -534,7 +560,7 @@ def _window_pallas_packed(kernel, scale, tensors, tables, n_outputs):
         in_specs=[spec] * len(tensors)
         + [_rope_specs(l, d // 2)] * len(tables),
         out_specs=out_specs if n_outputs > 1 else out_specs[0],
-        compiler_params=_PARALLEL,
+        compiler_params=_PARALLEL_BIG,
         interpret=_FORCE_INTERPRET,
     )(*packed, *[t.astype(jnp.float32) for t in tables])
     if n_outputs == 1:
@@ -547,7 +573,7 @@ def _packed_pallas(kernel, scale, tensors, tables, n_outputs):
     no pack/unpack relayouts (the caller owns the layout; see
     window_attention_packed)."""
     n, l, d2 = tensors[0].shape
-    wpp = 2 if n % 2 == 0 else 1
+    wpp = _wpp_for(n)
     spec = pl.BlockSpec((wpp, l, d2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out_shape = [
         jax.ShapeDtypeStruct(tensors[0].shape, t.dtype)
@@ -561,7 +587,7 @@ def _packed_pallas(kernel, scale, tensors, tables, n_outputs):
         in_specs=[spec] * len(tensors)
         + [_rope_specs(l, d2 // 4)] * len(tables),
         out_specs=out_specs if n_outputs > 1 else out_specs[0],
-        compiler_params=_PARALLEL,
+        compiler_params=_PARALLEL_BIG,
         interpret=_FORCE_INTERPRET,
     )(*tensors, *[t.astype(jnp.float32) for t in tables])
     return out

@@ -32,7 +32,11 @@ def main():
     WB, HD, L, DH = B * 9, 16, 576, 64
     # the kernel falls back to g=1 when the head count is not divisible
     g = wa.HEAD_GROUP if HD % wa.HEAD_GROUP == 0 else 1
-    tag = f"[g={g} il={int(wa._INTERLEAVE)} ms={int(wa._MXU_SUM)}]"
+    tag = (
+        f"[g={g} il={int(wa._INTERLEAVE)} ms={int(wa._MXU_SUM)}"
+        f" nm={int(wa._NO_MAX)} fr={int(wa.FUSE_ROPE)} wpp={wa._WPP}"
+        f" pk={int(wa._PACKED)}]"
+    )
     # rope rows: the fused-RoPE fwd honors il (kernel_rope_interleave);
     # its bwd (like the plain bwd) has no interleave variant
     rope_tag = tag
