@@ -8,17 +8,18 @@
 #     2.47 GB) to amortize fixed per-step costs.
 # Then the remaining r2-verdict evidence items: int8 quality arm re-run
 # (queue F's wedged on a dead tunnel fetch) and the curated fast tier time.
-cd /root/repo
+cd /root/repo || exit 1
 log=${R3_LOG:-/tmp/r3_exp.log}
 export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
-echo "=== $(date) r3 queue H start ===" >> $log
+echo "=== $(date) r3 queue H start ===" >> "$log"
 
 run() {  # run <label> <timeout> <cmd...>
-  echo "=== $(date) $1 ===" >> $log
+  local t
+  echo "=== $(date) $1 ===" >> "$log"
   shift
   t=$1; shift
-  timeout "$t" "$@" >> $log 2>&1
-  echo "--- rc=$? $(date) ---" >> $log
+  timeout "$t" "$@" >> "$log" 2>&1
+  echo "--- rc=$? $(date) ---" >> "$log"
 }
 
 # 1. encoder: no layer remat + checkpointed flash (saves FFN replay too)
@@ -29,9 +30,9 @@ run "ENC_FFN_FLASH_REMAT" 2400 env BENCH_ENC_REMAT=ffn SAM3_ENC_FLASH_REMAT=1 py
 run "BS10_GLOBAL_FLASH_REMAT" 2400 env BENCH_BATCH=10 SAM3_GLOBAL_FLASH_REMAT=1 python bench.py
 # 4. bs8 control: what the 4 global flash replays cost on their own
 run "GLOBAL_FLASH_REMAT_BS8" 2400 env SAM3_GLOBAL_FLASH_REMAT=1 python bench.py
-echo "=== QUEUE H PERF DONE $(date) ===" >> $log
+echo "=== QUEUE H PERF DONE $(date) ===" >> "$log"
 # 5. int8 quality arm (bf16 arm recorded: final ma25 266.321, val 264.838)
 run "QUANT_QUALITY_INT8" 5400 env QQ_QUANTS=int8 python scripts/train_quality_quant.py
 # 6. curated fast tier re-time (quiet host; target <300 s)
 run "FAST_TIER_TIME2" 1800 python -m pytest tests/ -q -m "not slow" --durations=10
-echo "=== QUEUE H DONE $(date) ===" >> $log
+echo "=== QUEUE H DONE $(date) ===" >> "$log"
