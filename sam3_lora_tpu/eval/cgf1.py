@@ -27,6 +27,28 @@ from scipy.optimize import linear_sum_assignment
 from .coco_map import IOU_THRS, _box_iou_matrix, _mask_iou_matrix
 
 
+def cgf1_from_counts(TPs, pmFPs, FNs, il_tp, il_fp, il_tn, il_fn):
+    """The reference accumulator's arithmetic (cgf1_eval.py accumulate):
+    counts -> (cgF1 per-threshold, positive-micro F1/precision/recall arrays,
+    IL_F1, IL_MCC). Shared with the video demo-F1 evaluator
+    (eval/saco_veval.py::evaluate_video_cgf1)."""
+    recall = TPs / (TPs + FNs + 1e-4)
+    pm_precision = TPs / (TPs + pmFPs + 1e-4)
+    pm_f1 = 2 * pm_precision * recall / (pm_precision + recall + 1e-4)
+
+    il_rec = il_tp / (il_tp + il_fn + 1e-6)
+    il_prec = il_tp / (il_tp + il_fp + 1e-6)
+    il_f1 = 2 * il_prec * il_rec / (il_prec + il_rec + 1e-6)
+    denom = (
+        float(il_tp + il_fp) * float(il_tp + il_fn)
+        * float(il_tn + il_fp) * float(il_tn + il_fn)
+    ) ** 0.5 + 1e-6
+    il_mcc = float(il_tp * il_tn - il_fp * il_fn) / denom
+
+    cgf1 = pm_f1 * il_mcc
+    return cgf1, pm_f1, pm_precision, recall, il_f1, il_mcc
+
+
 def evaluate_cgf1(
     gts: Dict,
     dts: Dict,
@@ -71,20 +93,9 @@ def evaluate_cgf1(
             if positive_img:
                 pmFPs[ti] += n_dt - tp
 
-    recall = TPs / (TPs + FNs + 1e-4)
-    pm_precision = TPs / (TPs + pmFPs + 1e-4)
-    pm_f1 = 2 * pm_precision * recall / (pm_precision + recall + 1e-4)
-
-    il_rec = il_tp / (il_tp + il_fn + 1e-6)
-    il_prec = il_tp / (il_tp + il_fp + 1e-6)
-    il_f1 = 2 * il_prec * il_rec / (il_prec + il_rec + 1e-6)
-    denom = (
-        float(il_tp + il_fp) * float(il_tp + il_fn)
-        * float(il_tn + il_fp) * float(il_tn + il_fn)
-    ) ** 0.5 + 1e-6
-    il_mcc = float(il_tp * il_tn - il_fp * il_fn) / denom
-
-    cgf1 = pm_f1 * il_mcc
+    cgf1, pm_f1, pm_precision, recall, il_f1, il_mcc = cgf1_from_counts(
+        TPs, pmFPs, FNs, il_tp, il_fp, il_tn, il_fn
+    )
     return {
         "cgF1": float(cgf1.mean()),
         "cgF1_50": float(cgf1[0]),

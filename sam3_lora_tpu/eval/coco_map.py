@@ -95,6 +95,38 @@ def _eval_image(dt_scores, iou, iscrowd, iou_thrs, max_dets=100):
     return dtm, dti, n_gt - n_crowd
 
 
+def accumulate_pooled(all_scores, all_dtm, all_dti, n_gt_total, t):
+    """COCOeval ``accumulate``: pool per-image match matrices across all
+    evaluation units, re-sort by score, and compute 101-point-interpolated
+    AP + final recall per IoU threshold. Shared by the image mAP above and
+    the video/tracklet AP evaluators (eval/saco_veval.py)."""
+    scores = np.concatenate(all_scores) if all_scores else np.zeros(0)
+    dtm = np.concatenate(all_dtm, axis=1) if all_dtm else np.zeros((t, 0), bool)
+    dti = np.concatenate(all_dti, axis=1) if all_dti else np.zeros((t, 0), bool)
+    order = np.argsort(-scores, kind="mergesort")
+    dtm, dti = dtm[:, order], dti[:, order]
+
+    ap = np.zeros(t)
+    recall_at = np.zeros(t)
+    for ti in range(t):
+        keep = ~dti[ti]
+        tps = np.cumsum(dtm[ti][keep]).astype(np.float64)
+        fps = np.cumsum(~dtm[ti][keep]).astype(np.float64)
+        rc = tps / n_gt_total
+        pr = tps / np.maximum(tps + fps, 1e-9)
+        recall_at[ti] = rc[-1] if len(rc) else 0.0
+        # precision envelope (monotone non-increasing from the right)
+        for i in range(len(pr) - 1, 0, -1):
+            pr[i - 1] = max(pr[i - 1], pr[i])
+        # 101-point interpolation
+        idx = np.searchsorted(rc, RECALL_THRS, side="left")
+        q = np.zeros(len(RECALL_THRS))
+        ok = idx < len(pr)
+        q[ok] = pr[idx[ok]]
+        ap[ti] = q.mean()
+    return ap, recall_at
+
+
 def evaluate_coco_map(
     gts: Dict,
     dts: Dict,
@@ -135,30 +167,7 @@ def evaluate_coco_map(
     if n_gt_total == 0:
         return {"mAP": -1.0, "mAP_50": -1.0, "mAP_75": -1.0, "AR_100": -1.0}
 
-    scores = np.concatenate(all_scores) if all_scores else np.zeros(0)
-    dtm = np.concatenate(all_dtm, axis=1) if all_dtm else np.zeros((t, 0), bool)
-    dti = np.concatenate(all_dti, axis=1) if all_dti else np.zeros((t, 0), bool)
-    order = np.argsort(-scores, kind="mergesort")
-    dtm, dti = dtm[:, order], dti[:, order]
-
-    ap = np.zeros(t)
-    recall_at = np.zeros(t)
-    for ti in range(t):
-        keep = ~dti[ti]
-        tps = np.cumsum(dtm[ti][keep]).astype(np.float64)
-        fps = np.cumsum(~dtm[ti][keep]).astype(np.float64)
-        rc = tps / n_gt_total
-        pr = tps / np.maximum(tps + fps, 1e-9)
-        recall_at[ti] = rc[-1] if len(rc) else 0.0
-        # precision envelope (monotone non-increasing from the right)
-        for i in range(len(pr) - 1, 0, -1):
-            pr[i - 1] = max(pr[i - 1], pr[i])
-        # 101-point interpolation
-        idx = np.searchsorted(rc, RECALL_THRS, side="left")
-        q = np.zeros(len(RECALL_THRS))
-        ok = idx < len(pr)
-        q[ok] = pr[idx[ok]]
-        ap[ti] = q.mean()
+    ap, recall_at = accumulate_pooled(all_scores, all_dtm, all_dti, n_gt_total, t)
 
     return {
         "mAP": float(ap.mean()),
