@@ -387,6 +387,64 @@ class MultiHeadAttention(nn.Module):
         k = key.astype(dtype) @ w[:, d : 2 * d] + b[d : 2 * d]
         v = value.astype(dtype) @ w[:, 2 * d :] + b[2 * d :]
 
+        mcfg_early = self.spec.model
+        head_dim = d // self.num_heads
+        lq, lk = q.shape[1], k.shape[1]
+        if (
+            mcfg_early.use_flash_attention
+            and lq >= mcfg_early.flash_attention_min_seq
+            and lk == lq
+            and attn_bias is None
+            and key_padding_mask is None
+            and separable_bias is None
+            and d % 128 == 0
+        ):
+            from ..ops import long_attention as la_ops
+            from ..ops.pallas_attention import _is_tpu_backend
+
+            if (
+                la_ops.LONG_ATTENTION
+                and (_is_tpu_backend() or la_ops._FORCE_INTERPRET)
+                and la_ops.supported(lq, self.num_heads, head_dim)
+            ):
+                # Unmasked long self-attention (fusion encoder: 5184 img
+                # tokens, 8 heads x D=32) via the whole-KV-resident packed
+                # kernel (ops/long_attention.py). Adjacent heads are adjacent
+                # in_proj channels, so (B, L, D) -> (B*D/128, L, 128) is ONE
+                # relayout and the 4x-lane-padded (B, H, L, 32) layout is
+                # never materialized.
+                g = d // 128
+                bsz = q.shape[0]
+
+                def _packg(t):
+                    return (
+                        t.reshape(bsz, lq, g, 128)
+                        .transpose(0, 2, 1, 3)
+                        .reshape(bsz * g, lq, 128)
+                    )
+
+                out = la_ops.long_attention_packed(
+                    _packg(q), _packg(k), _packg(v),
+                    float(head_dim) ** -0.5, head_dim,
+                )
+                out = (
+                    out.reshape(bsz, g, lq, 128)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(bsz, lq, d)
+                )
+                if self.dropout > 0.0 and train:
+                    # same approximate output-dropout as the library flash
+                    # long path below (exact prob-dropout would materialize
+                    # the (L, L) probs this kernel exists to avoid)
+                    keep = 1.0 - self.dropout
+                    mask = jax.random.bernoulli(
+                        self.make_rng("dropout"), keep, out.shape
+                    )
+                    out = jnp.where(mask, out / keep, jnp.zeros_like(out))
+                return LoRALinear(d, self.spec, name="out_proj")(
+                    out.astype(dtype), train=train
+                )
+
         qh = split_heads(q, self.num_heads)
         kh = split_heads(k, self.num_heads)
         vh = split_heads(v, self.num_heads)

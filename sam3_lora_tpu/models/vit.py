@@ -183,6 +183,44 @@ class Attention(nn.Module):
             out = LoRALinear(dim, self.spec, name="proj")(out, train=train)
             return out.reshape(b, h, w, dim)
 
+        from ..ops import long_attention as la
+        from ..ops.pallas_attention import _is_tpu_backend
+
+        if (
+            impl == "pallas"
+            and la.LONG_ATTENTION
+            and (_is_tpu_backend() or la._FORCE_INTERPRET)
+            and heads % max(1, 128 // head_dim) == 0
+            and la.supported(l, heads, head_dim)
+        ):
+            # GLOBAL blocks via the whole-KV-resident packed kernel
+            # (ops/long_attention.py): adjacent heads pack to 128 lanes
+            # straight off the qkv projection — one relayout each way, no
+            # lane-padded (B, H, L, 64) intermediates, lean bf16 residuals
+            # instead of the library flash kernel's ~352 MB/block f32 stats.
+            hpg = 128 // head_dim  # heads per packed group
+            qkv_p = qkv.reshape(b, l, 3, heads // hpg, 128)
+            q, k, v = [
+                jnp.transpose(qkv_p[:, :, i], (0, 2, 1, 3)).reshape(
+                    b * (heads // hpg), l, 128
+                )
+                for i in range(3)
+            ]
+            scale = float(head_dim**-0.5)
+            if cfg.vit_use_rope:
+                out = la.long_attention_rope_packed(
+                    q, k, v, scale, head_dim, cos, sin
+                )
+            else:
+                out = la.long_attention_packed(q, k, v, scale, head_dim)
+            out = (
+                out.reshape(b, heads // hpg, l, 128)
+                .transpose(0, 2, 1, 3)
+                .reshape(b, l, dim)
+            )
+            out = LoRALinear(dim, self.spec, name="proj")(out, train=train)
+            return out.reshape(b, h, w, dim)
+
         qkv = qkv.reshape(b, l, 3, heads, head_dim)
         q, k, v = [
             jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3)

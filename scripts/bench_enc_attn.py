@@ -95,10 +95,16 @@ def main():
     v = jax.random.normal(kv, (B, H, L, D), jnp.bfloat16)
     print(f"shape B={B} H={H} L={L} D={D}  fwd {FWD_FLOPS/1e9:.0f} GF")
 
+    from sam3_lora_tpu.ops.long_attention import long_attention, supported
+
     impls = {
         "library flash": jax.jit(lambda q, k, v: flash_attention(q, k, v)),
         "chunked ckpt (xla online-softmax)": jax.jit(chunked_ckpt),
     }
+    if supported(L, H, D):
+        impls["long kernel (whole-KV packed)"] = jax.jit(
+            lambda q, k, v: long_attention(q, k, v, D ** -0.5)
+        )
     for name, fn in impls.items():
         try:
             timeit(f"{name} fwd", fn, q, k, v, flops=FWD_FLOPS)
