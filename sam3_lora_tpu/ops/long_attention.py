@@ -60,7 +60,14 @@ _NEG_BIG = -1e30  # finite -inf stand-in: exp(_NEG_BIG - m) == 0 exactly
 # unrolled head of the group (Mosaic does not slot-reuse unrolled
 # temporaries — see window_qkv.py), so QT shrinks as heads-per-group grows:
 # p=2 (D=64): 2 * 576*5248*4 = 24 MB; p=4 (D=32): 4 * 288*5248*4 = 24 MB.
+# SAM3_LONG_QT2 / SAM3_LONG_QT4 override the cap for sweeps (e.g. 864 at
+# p=2 or 576 at p=4 stay under the 96 MB scoped-VMEM budget with fewer,
+# larger programs).
 _QT_BY_GROUP = {1: 1152, 2: 576, 4: 288, 8: 144}
+for _p in (2, 4):
+    _ov = os.environ.get(f"SAM3_LONG_QT{_p}")
+    if _ov:
+        _QT_BY_GROUP[_p] = max(8, int(_ov))
 
 # Grid rows (batch*head-group) are independent; Q tiles within a row are
 # sequential — the backward accumulates dK/dV across them in scratch.
@@ -85,14 +92,19 @@ def _pad_cols(l: int) -> int:
     return ((l + 127) // 128) * 128
 
 
-def _masked(s, valid: int):
-    """Kill score columns past the true KV length (padded K rows are zero, so
-    s == 0 there — nonzero exp would corrupt row sums and the backward)."""
-    lp = s.shape[-1]
+def _zero_pad_cols(e, valid: int):
+    """Zero the padded score columns of e (QT, Lp) — a static-index update
+    touching only the (QT, Lp - valid) pad slice, ~1/80th the cost of the
+    full-row select it replaces. Padded K rows are exactly zero, so their
+    scores are exactly 0; taking the row max over the FULL padded row is
+    still exact (softmax is shift-invariant and m = max(true_max, 0) can
+    never overflow exp) — only the row SUM needs the pad mass removed."""
+    qt, lp = e.shape
     if valid == lp:
-        return s
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1)
-    return jnp.where(col < valid, s, _NEG_BIG)
+        return e
+    return jax.lax.dynamic_update_slice(
+        e, jnp.zeros((qt, lp - valid), e.dtype), (0, valid)
+    )
 
 
 def _dot(a, b, contract: Tuple[int, int]):
@@ -131,9 +143,8 @@ def _make_fwd_kernel(scale, dh, valid, qt, rope):
                 q = apply_rope_half(q, cos_q, sin_q)
                 k = apply_rope_half(k, cos_ref[...], sin_ref[...])
             s = _dot(q, k, (1, 1)) * scale  # (QT, Lp) f32
-            s = _masked(s, valid)
-            m = jnp.max(s, axis=-1)  # (QT,)
-            e = jnp.exp(s - m[:, None])
+            m = jnp.max(s, axis=-1)  # (QT,) — padded cols are exactly 0
+            e = _zero_pad_cols(jnp.exp(s - m[:, None]), valid)
             r = 1.0 / jnp.sum(e, axis=-1)  # (QT,)
             o = _dot(e.astype(v.dtype), v, (1, 0))  # (QT, dh) f32
             o_ref[0, :, sl] = (o * r[:, None]).astype(o_ref.dtype)
@@ -176,9 +187,9 @@ def _make_bwd_kernel(scale, dh, valid, qt, n_qt, rope):
             do = do_ref[0][:, sl]
             o = o_ref[0][:, sl]
             s = _dot(q, k, (1, 1)) * scale
-            s = _masked(s, valid)
             m = jnp.max(s, axis=-1)
-            e = jnp.exp(s - m[:, None])  # (QT, Lp) f32, unnormalized
+            # (QT, Lp) f32, unnormalized; pad cols zeroed (exact, cheap)
+            e = _zero_pad_cols(jnp.exp(s - m[:, None]), valid)
             inv = 1.0 / jnp.sum(e, axis=-1)  # (QT,)
             eb = e.astype(q.dtype)
             # dV = P^T dO = e^T (inv * dO)
