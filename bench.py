@@ -31,7 +31,13 @@ BASELINE_IMG_PER_S = 3.5  # estimated A100 full-config LoRA train throughput
 
 
 def _enc_remat_env() -> str:
-    v = os.environ.get("BENCH_ENC_REMAT", "1")
+    # Default "ffn": remat only the encoder FFN sub-block, leave the 6 long
+    # self-attentions unrematted. Fits HBM only because the long-attention
+    # kernel's residuals are lean bf16 (ops/long_attention.py; the library
+    # flash path OOM'd this config by 1.27 GB) and saves the 6x ~13 ms
+    # attention forward replay: 3.441 vs 3.38 img/s/chip (v5e bs8,
+    # 2026-08-20 queue E).
+    v = os.environ.get("BENCH_ENC_REMAT", "ffn")
     if v not in ("0", "1", "ffn"):
         # a typo'd value silently disabling all encoder remat would OOM the
         # v5e bench with no pointer at the cause — fail loudly instead

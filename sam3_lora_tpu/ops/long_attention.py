@@ -93,18 +93,18 @@ def _pad_cols(l: int) -> int:
 
 
 def _zero_pad_cols(e, valid: int):
-    """Zero the padded score columns of e (QT, Lp) — a static-index update
-    touching only the (QT, Lp - valid) pad slice, ~1/80th the cost of the
-    full-row select it replaces. Padded K rows are exactly zero, so their
-    scores are exactly 0; taking the row max over the FULL padded row is
-    still exact (softmax is shift-invariant and m = max(true_max, 0) can
-    never overflow exp) — only the row SUM needs the pad mass removed."""
+    """Zero the padded score columns of e (QT, Lp). Padded K rows are exactly
+    zero, so their scores are exactly 0; taking the row max over the FULL
+    padded row stays exact (softmax is shift-invariant and m = max(true, 0)
+    can never overflow exp) — only the row SUM needs the pad mass removed.
+    A (QT, pad) dynamic_update_slice would be ~1/80th the work but Mosaic
+    has no TC lowering for it (found on-chip; the interpreter accepts it),
+    so this is a lane-iota select pass."""
     qt, lp = e.shape
     if valid == lp:
         return e
-    return jax.lax.dynamic_update_slice(
-        e, jnp.zeros((qt, lp - valid), e.dtype), (0, valid)
-    )
+    col = jax.lax.broadcasted_iota(jnp.int32, (qt, lp), 1)
+    return jnp.where(col < valid, e, 0.0)
 
 
 def _dot(a, b, contract: Tuple[int, int]):
