@@ -54,6 +54,28 @@ _FORCE_INTERPRET = False
 # restores the library path for A/Bs).
 LONG_ATTENTION = os.environ.get("SAM3_LONG_ATTENTION", "1") == "1"
 
+# Softmax range handling: "max" = exact row-max subtraction (a full reduce +
+# broadcast-subtract pass over every (QT, Lp) score tile, fwd and bwd);
+# "clamp" = exp(min(s, 70)) — ONE elementwise pass, exact whenever the row
+# max is <= 70 and NEVER NaN/inf above it: the bound is set so even a
+# fully-saturated Lp-wide row sum stays under f32 max
+# (e^70 * 5248 * |v| ~ 1e36 << 3.4e38). LN-bounded attention scores
+# measure |s| < 30 at this repo's converted init
+# (ops/window_attention.py provenance note) — 70 leaves ~40 points of
+# margin, and the failure mode beyond it is a soft saturation (scores
+# > 70 treated as equal), not the NaN of a raw exp.
+_SOFTMAX_MODE = os.environ.get("SAM3_LONG_SOFTMAX", "max")
+_CLAMP = 70.0
+
+
+def _exp_range(s):
+    """exp with range protection per _SOFTMAX_MODE; returns (e, m) where m
+    is the per-row shift (None under clamp — no shift applied)."""
+    if _SOFTMAX_MODE == "clamp":
+        return jnp.exp(jnp.minimum(s, _CLAMP)), None
+    m = jnp.max(s, axis=-1)  # padded cols are exactly 0 — max(true, 0)
+    return jnp.exp(s - m[:, None]), m
+
 _NEG_BIG = -1e30  # finite -inf stand-in: exp(_NEG_BIG - m) == 0 exactly
 
 # Q rows per program. The (QT, Lp) f32 score tile is held live for every
@@ -143,8 +165,7 @@ def _make_fwd_kernel(scale, dh, valid, qt, rope):
                 q = apply_rope_half(q, cos_q, sin_q)
                 k = apply_rope_half(k, cos_ref[...], sin_ref[...])
             s = _dot(q, k, (1, 1)) * scale  # (QT, Lp) f32
-            m = jnp.max(s, axis=-1)  # (QT,) — padded cols are exactly 0
-            e = _zero_pad_cols(jnp.exp(s - m[:, None]), valid)
+            e = _zero_pad_cols(_exp_range(s)[0], valid)
             r = 1.0 / jnp.sum(e, axis=-1)  # (QT,)
             o = _dot(e.astype(v.dtype), v, (1, 0))  # (QT, dh) f32
             o_ref[0, :, sl] = (o * r[:, None]).astype(o_ref.dtype)
@@ -187,9 +208,8 @@ def _make_bwd_kernel(scale, dh, valid, qt, n_qt, rope):
             do = do_ref[0][:, sl]
             o = o_ref[0][:, sl]
             s = _dot(q, k, (1, 1)) * scale
-            m = jnp.max(s, axis=-1)
-            # (QT, Lp) f32, unnormalized; pad cols zeroed (exact, cheap)
-            e = _zero_pad_cols(jnp.exp(s - m[:, None]), valid)
+            # (QT, Lp) f32, unnormalized; pad cols zeroed
+            e = _zero_pad_cols(_exp_range(s)[0], valid)
             inv = 1.0 / jnp.sum(e, axis=-1)  # (QT,)
             eb = e.astype(q.dtype)
             # dV = P^T dO = e^T (inv * dO)

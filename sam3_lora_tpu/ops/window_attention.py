@@ -82,6 +82,16 @@ _MXU_SUM = os.environ.get("SAM3_WINDOW_MXU_SUM", "0") == "1"
 # re-verify the margin once real weights land before enabling in production.
 _NO_MAX = os.environ.get("SAM3_WINDOW_NO_MAX", "0") == "1"
 
+# Middle ground between the exact max path (reduce + broadcast-subtract, 2
+# VPU passes over every (L, L) score tile) and _NO_MAX (0 passes, but raw
+# exp overflows to inf/NaN past s ~ 88): exp(min(s, 70)) — ONE pass, exact
+# whenever the row max is <= 70, and the failure mode beyond is a soft
+# saturation (all scores > 70 weighted equally), never NaN — 70 keeps even
+# a fully-saturated 576-wide row sum far below f32 overflow. |s| < 30 at
+# the repo's converted init (see _NO_MAX provenance note); 70 leaves ~40
+# points of margin. SAM3_WINDOW_CLAMP=1; takes precedence over _NO_MAX.
+_CLAMP_MAX = os.environ.get("SAM3_WINDOW_CLAMP", "0") == "1"
+
 # Head-PAIR-packed lane layout: kernel blocks are (wpp, L, 2*D) with two
 # 64-channel heads side by side in lanes instead of (1, G, L, D). Rationale
 # (measured, scripts/probe_dma_floor.py, v5e): D=64 blocks DMA at ~95 GB/s
@@ -119,8 +129,16 @@ _FORCE_INTERPRET = False
 
 def _exp_shifted(s):
     """exp(s - rowmax(s)) on the VPU; under _MXU_SUM the caller has folded
-    log2(e) into s so this is a bare exp2; under _NO_MAX the max-reduction
-    and subtract passes are skipped entirely (see flag comment)."""
+    log2(e) into s so this is a bare exp2; under _CLAMP_MAX the shift is
+    replaced by a single clamp pass (exp(min(s, 70))); under _NO_MAX the
+    max-reduction and subtract passes are skipped entirely (see flags)."""
+    if _CLAMP_MAX:
+        # exp2 threshold = 70 * log2(e), the same effective score bound
+        return (
+            jnp.exp2(jnp.minimum(s, 70.0 * _LOG2E))
+            if _MXU_SUM
+            else jnp.exp(jnp.minimum(s, 70.0))
+        )
     if _NO_MAX:
         return jnp.exp2(s) if _MXU_SUM else jnp.exp(s)
     m = jnp.max(s, axis=-1, keepdims=True)

@@ -105,6 +105,30 @@ def test_long_rope_kernel_matches_unfused(interpret_kernels, dtype, tol):
         assert _maxerr(a, b) < tol
 
 
+def test_clamp_softmax_matches_oracle(interpret_kernels, monkeypatch):
+    """SAM3_LONG_SOFTMAX=clamp (exp(min(s, 85)), one VPU pass instead of the
+    row-max reduce + subtract) must be exact for bounded logits and finite
+    (soft saturation, never NaN) past the clamp."""
+    monkeypatch.setattr(la, "_SOFTMAX_MODE", "clamp")
+    q, k, v = _qkv(2, 4, 320, 32, jnp.float32)
+    scale = 32 ** -0.5
+    out_k = la.long_attention(q, k, v, scale)
+    out_o = dot_product_attention(q, k, v, impl="xla", scale=scale)
+    assert _maxerr(out_k, out_o) < 2e-5
+
+    c = jax.random.normal(jax.random.PRNGKey(9), out_o.shape, jnp.float32)
+    gk = _grads(lambda q, k, v: la.long_attention(q, k, v, scale), q, k, v, c)
+    go = _grads(
+        lambda q, k, v: dot_product_attention(q, k, v, impl="xla", scale=scale),
+        q, k, v, c,
+    )
+    for a, b in zip(gk, go):
+        assert _maxerr(a, b) < 2e-4
+
+    big = la.long_attention(q * 500.0, k * 500.0, v, scale)
+    assert bool(jnp.isfinite(big.astype(jnp.float32)).all())
+
+
 def test_supported_gates():
     assert la.supported(5184, 16, 64)   # ViT global blocks
     assert la.supported(5184, 8, 32)    # fusion-encoder self-attn

@@ -151,6 +151,40 @@ def test_mxu_sum_variant_matches_oracle(
 
 
 @pytest.mark.parametrize("mxu_sum", [False, True])
+def test_clamp_variant_matches_oracle(interpret_kernels, monkeypatch, mxu_sum):
+    """SAM3_WINDOW_CLAMP (exp(min(s, 85)) — one VPU pass instead of the
+    max-reduce + subtract) must be exact for bounded logits, and must stay
+    FINITE (soft saturation, not NaN) for scores past the clamp."""
+    monkeypatch.setattr(wa, "_CLAMP_MAX", True)
+    monkeypatch.setattr(wa, "_MXU_SUM", mxu_sum)
+    q, k, v = _qkv(l=36, d=16)
+    scale = q.shape[-1] ** -0.5
+
+    out_k = wa.window_attention(q, k, v, scale)
+    out_o = dot_product_attention(q, k, v, impl="xla", scale=scale)
+    assert _maxerr(out_k, out_o) < 2e-5
+
+    c = jax.random.normal(jax.random.PRNGKey(9), out_o.shape, jnp.float32)
+
+    def loss(fn):
+        return jax.grad(
+            lambda q, k, v: jnp.sum(fn(q, k, v).astype(jnp.float32) * c),
+            argnums=(0, 1, 2),
+        )
+
+    gk = loss(lambda q, k, v: wa.window_attention(q, k, v, scale))(q, k, v)
+    go = loss(
+        lambda q, k, v: dot_product_attention(q, k, v, impl="xla", scale=scale)
+    )(q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), gk, go):
+        assert _maxerr(a, b) < 2e-4, name
+
+    # scores far past the clamp: raw exp would be inf/NaN, clamp saturates
+    big = wa.window_attention(q * 500.0, k * 500.0, v, scale)
+    assert bool(jnp.isfinite(big.astype(jnp.float32)).all())
+
+
+@pytest.mark.parametrize("mxu_sum", [False, True])
 def test_no_max_variant_matches_oracle(interpret_kernels, monkeypatch, mxu_sum):
     """SAM3_WINDOW_NO_MAX (skip the softmax max-subtraction) must be exact for
     bounded logits — fwd and grads, plain and RoPE-fused kernels, with and
