@@ -64,7 +64,11 @@ LONG_ATTENTION = os.environ.get("SAM3_LONG_ATTENTION", "1") == "1"
 # (ops/window_attention.py provenance note) — 70 leaves ~40 points of
 # margin, and the failure mode beyond it is a soft saturation (scores
 # > 70 treated as equal), not the NaN of a raw exp.
-_SOFTMAX_MODE = os.environ.get("SAM3_LONG_SOFTMAX", "max")
+# Default "clamp": measured 3.545 vs 3.445 img/s/chip on the full v5e bs8
+# train bench together with SAM3_WINDOW_CLAMP (2026-08-20 queue F); flip to
+# "max" for the exact-shift path. Re-verify the |s| margin on trained
+# weights when a golden checkpoint lands (PARITY.md).
+_SOFTMAX_MODE = os.environ.get("SAM3_LONG_SOFTMAX", "clamp")
 _CLAMP = 70.0
 
 
@@ -85,7 +89,11 @@ _NEG_BIG = -1e30  # finite -inf stand-in: exp(_NEG_BIG - m) == 0 exactly
 # SAM3_LONG_QT2 / SAM3_LONG_QT4 override the cap for sweeps (e.g. 864 at
 # p=2 or 576 at p=4 stay under the 96 MB scoped-VMEM budget with fewer,
 # larger programs).
-_QT_BY_GROUP = {1: 1152, 2: 576, 4: 288, 8: 144}
+# p=4 default 576 (not 288): fewer, larger programs measured faster on the
+# encoder shape (fwd 11.1 vs 13.3 ms, fwd+bwd 27.6 vs 31.5 — queue F
+# LONGQT_MICRO_QT4_576); 4 * 576*5248*4B = 48 MB of unrolled score tiles
+# stays under the 96 MB budget.
+_QT_BY_GROUP = {1: 1152, 2: 576, 4: 576, 8: 144}
 for _p in (2, 4):
     _ov = os.environ.get(f"SAM3_LONG_QT{_p}")
     if _ov:

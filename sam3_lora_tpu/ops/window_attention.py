@@ -90,7 +90,9 @@ _NO_MAX = os.environ.get("SAM3_WINDOW_NO_MAX", "0") == "1"
 # a fully-saturated 576-wide row sum far below f32 overflow. |s| < 30 at
 # the repo's converted init (see _NO_MAX provenance note); 70 leaves ~40
 # points of margin. SAM3_WINDOW_CLAMP=1; takes precedence over _NO_MAX.
-_CLAMP_MAX = os.environ.get("SAM3_WINDOW_CLAMP", "0") == "1"
+# Default ON (with SAM3_LONG_SOFTMAX=clamp): 3.545 vs 3.445 img/s/chip on
+# the full v5e bs8 train bench (2026-08-20 queue F).
+_CLAMP_MAX = os.environ.get("SAM3_WINDOW_CLAMP", "1") == "1"
 
 # Head-PAIR-packed lane layout: kernel blocks are (wpp, L, 2*D) with two
 # 64-channel heads side by side in lanes instead of (1, G, L, D). Rationale
