@@ -161,6 +161,9 @@ def main():
             "step_time_min_s": round(ts[0], 4),
             "step_time_max_s": round(ts[-1], 4),
             "steps_per_fetch": group,
+            # per-group means in run order: locates an outlier (group 0 =
+            # residual warmup/load work; mid-run = host contention)
+            "step_time_groups_s": [round(t, 4) for t in per_step_times],
         }
         if spread > 0.2:
             out["contended"] = True
@@ -205,6 +208,14 @@ def main():
     # is the only reliable barrier. Steps chain through `trainable`, so one
     # fetch forces everything dispatched before it.
     trainable, opt_state, losses = step(trainable, frozen, opt_state, batch, key)
+    float(np.asarray(losses["core_loss"]))
+    # second warmup step: the first EXECUTION after the tunnel's AOT compile
+    # can still carry one-time server-side load/link work that the compile
+    # fetch doesn't cover (seen as a single +2.6 s/step first group in
+    # otherwise tight runs, 2026-08-20), and fetching `losses` does not force
+    # the warmup step's optimizer tail
+    key, sub = jax.random.split(key)
+    trainable, opt_state, losses = step(trainable, frozen, opt_state, batch, sub)
     float(np.asarray(losses["core_loss"]))
 
     group_times = []
