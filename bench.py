@@ -17,7 +17,11 @@ north star is >=2x *A100* img/s/chip; no A100 number is published for this
 workload, so we take A100 ~= 2x RTX 3090 on this bf16-heavy model:
 baseline = 3.5 img/s/chip, target >= 7.0.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line with {"metric", "value", "unit", "vs_baseline"} plus
+diagnostics: step_time_median_s (the headline basis), step_time_min/max_s,
+per-group times (step_time_groups_s), steps_per_fetch, a "contended" flag
+when the max/median ratio indicates host interference, and data_time_s
+under BENCH_DATA=real.
 """
 
 import json

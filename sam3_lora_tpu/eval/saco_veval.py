@@ -492,11 +492,17 @@ def _drop_empty_frames(p: Dict) -> None:
     segs = p.get("segmentations")
     n = len(boxes) if boxes is not None else len(segs or [])
     for i in range(n):
-        b = boxes[i] if boxes is not None else None
         a = areas[i] if areas is not None else None
-        empty = (a is not None and a == 0) or b is None or (
-            b is not None and all(x == 0 for x in b)
-        )
+        if boxes is not None:
+            b = boxes[i]
+            empty = (a is not None and a == 0) or b is None or all(
+                x == 0 for x in b
+            )
+        else:
+            # mask-only record (no bboxes key): decide emptiness from the
+            # area / segmentation instead of treating every frame as empty
+            s = segs[i] if segs is not None else None
+            empty = s is None or (a is not None and a == 0)
         if empty:
             if segs is not None:
                 segs[i] = None

@@ -423,6 +423,12 @@ class MultiHeadAttention(nn.Module):
                         .reshape(bsz * g, lq, 128)
                     )
 
+                from ..ops import softmax_check
+
+                softmax_check.observe(
+                    "encoder.long", _packg(q), _packg(k),
+                    float(head_dim) ** -0.5, head_dim,
+                )
                 out = la_ops.long_attention_packed(
                     _packg(q), _packg(k), _packg(v),
                     float(head_dim) ** -0.5, head_dim,

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..ops import softmax_check
 from ..ops.attention import dot_product_attention, merge_heads, split_heads
 from ..ops.rope import apply_rope_half, compute_axial_freqs, rope_half_perm
 from ..ops.windows import window_partition, window_unpartition
@@ -146,6 +147,12 @@ class Attention(nn.Module):
             # the output projection (ops/window_qkv.py; the packed chain
             # below still pays one relayout each way).
             scale = float(head_dim**-0.5)
+            if softmax_check.is_enabled():
+                qkv3 = qkv.reshape(b, l, 3, dim)
+                softmax_check.observe(
+                    "vit.window.qkv", qkv3[:, :, 0], qkv3[:, :, 1], scale,
+                    head_dim, cos if cfg.vit_use_rope else None, sin,
+                )
             if cfg.vit_use_rope:
                 out = wq.window_attention_rope_qkv(qkv, heads, scale, cos, sin)
             else:
@@ -171,6 +178,10 @@ class Attention(nn.Module):
                 for i in range(3)
             ]
             scale = float(head_dim**-0.5)
+            softmax_check.observe(
+                "vit.window.packed", q, k, scale, head_dim,
+                cos if cfg.vit_use_rope else None, sin,
+            )
             if cfg.vit_use_rope:
                 out = wa.window_attention_rope_packed(q, k, v, scale, cos, sin)
             else:
@@ -207,6 +218,10 @@ class Attention(nn.Module):
                 for i in range(3)
             ]
             scale = float(head_dim**-0.5)
+            softmax_check.observe(
+                "vit.global.long", q, k, scale, head_dim,
+                cos if cfg.vit_use_rope else None, sin,
+            )
             if cfg.vit_use_rope:
                 out = la.long_attention_rope_packed(
                     q, k, v, scale, head_dim, cos, sin

@@ -110,6 +110,10 @@ def dot_product_attention(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
     )
     logits = logits * jnp.float32(scale)
+    from . import softmax_check
+
+    # pre-bias: this is the s the clamp kernels see (they take no bias)
+    softmax_check.observe_scores("xla", logits)
     full_bias = make_attention_bias(key_padding_mask, bias)
     if full_bias is not None:
         logits = logits + full_bias

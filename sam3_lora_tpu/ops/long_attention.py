@@ -63,7 +63,15 @@ LONG_ATTENTION = os.environ.get("SAM3_LONG_ATTENTION", "1") == "1"
 # measure |s| < 30 at this repo's converted init
 # (ops/window_attention.py provenance note) — 70 leaves ~40 points of
 # margin, and the failure mode beyond it is a soft saturation (scores
-# > 70 treated as equal), not the NaN of a raw exp.
+# > 70 treated as equal), not the NaN of a raw exp. The NEGATIVE side is
+# guarded at the reciprocal, not the scores: without the row-max shift a
+# row whose every valid score is < ~-87 (f32 exp underflow) would have
+# rowsum 0 and r = 1/0 = inf -> 0*inf = NaN, so every 1/rowsum below is
+# 1/(rowsum + _RS_EPS) — a degenerate row then outputs ~0 instead of NaN
+# (r <= 1e35, all products finite), and for any non-degenerate row the
+# eps is below one f32 ulp of the sum (bit-identical in "max" mode where
+# rowsum >= 1). Margin: |s| < 30 measured leaves ~57 points to the -87
+# underflow line, mirroring the ~40-point +70 margin.
 # Default "clamp": measured 3.545 vs 3.445 img/s/chip on the full v5e bs8
 # train bench together with SAM3_WINDOW_CLAMP (2026-08-20 queue F); flip to
 # "max" for the exact-shift path. Re-verify the |s| margin on trained
@@ -82,6 +90,10 @@ def _exp_range(s):
 
 _NEG_BIG = -1e30  # finite -inf stand-in: exp(_NEG_BIG - m) == 0 exactly
 
+# Reciprocal guard for clamp/no-shift softmax (see _SOFTMAX_MODE note):
+# normal f32 (not denormal), so 1/_RS_EPS = 1e35 stays finite.
+_RS_EPS = 1e-35
+
 # Q rows per program. The (QT, Lp) f32 score tile is held live for every
 # unrolled head of the group (Mosaic does not slot-reuse unrolled
 # temporaries — see window_qkv.py), so QT shrinks as heads-per-group grows:
@@ -97,7 +109,9 @@ _QT_BY_GROUP = {1: 1152, 2: 576, 4: 576, 8: 144}
 for _p in (2, 4):
     _ov = os.environ.get(f"SAM3_LONG_QT{_p}")
     if _ov:
-        _QT_BY_GROUP[_p] = max(8, int(_ov))
+        # normalize to a multiple of 8 — _choose_qt scans cap, cap-8, ... and
+        # every candidate must satisfy the 8-sublane row requirement
+        _QT_BY_GROUP[_p] = max(8, (int(_ov) // 8) * 8)
 
 # Grid rows (batch*head-group) are independent; Q tiles within a row are
 # sequential — the backward accumulates dK/dV across them in scratch.
@@ -174,7 +188,7 @@ def _make_fwd_kernel(scale, dh, valid, qt, rope):
                 k = apply_rope_half(k, cos_ref[...], sin_ref[...])
             s = _dot(q, k, (1, 1)) * scale  # (QT, Lp) f32
             e = _zero_pad_cols(_exp_range(s)[0], valid)
-            r = 1.0 / jnp.sum(e, axis=-1)  # (QT,)
+            r = 1.0 / (jnp.sum(e, axis=-1) + _RS_EPS)  # (QT,)
             o = _dot(e.astype(v.dtype), v, (1, 0))  # (QT, dh) f32
             o_ref[0, :, sl] = (o * r[:, None]).astype(o_ref.dtype)
 
@@ -218,7 +232,7 @@ def _make_bwd_kernel(scale, dh, valid, qt, n_qt, rope):
             s = _dot(q, k, (1, 1)) * scale
             # (QT, Lp) f32, unnormalized; pad cols zeroed
             e = _zero_pad_cols(_exp_range(s)[0], valid)
-            inv = 1.0 / jnp.sum(e, axis=-1)  # (QT,)
+            inv = 1.0 / (jnp.sum(e, axis=-1) + _RS_EPS)  # (QT,)
             eb = e.astype(q.dtype)
             # dV = P^T dO = e^T (inv * dO)
             dv_h = _dot(eb, do * inv[:, None].astype(do.dtype), (0, 0))

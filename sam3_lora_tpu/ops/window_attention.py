@@ -92,7 +92,16 @@ _NO_MAX = os.environ.get("SAM3_WINDOW_NO_MAX", "0") == "1"
 # points of margin. SAM3_WINDOW_CLAMP=1; takes precedence over _NO_MAX.
 # Default ON (with SAM3_LONG_SOFTMAX=clamp): 3.545 vs 3.445 img/s/chip on
 # the full v5e bs8 train bench (2026-08-20 queue F).
+# NEGATIVE-side guard: without the row-max shift, a row whose every score is
+# < ~-87 (f32 exp underflow) has rowsum 0 and 1/rowsum = inf -> NaN; all
+# reciprocals below add _RS_EPS so such a row outputs ~0 instead (see
+# ops/long_attention.py for the full margin analysis — |s| < 30 measured
+# leaves ~57 points to the underflow line).
 _CLAMP_MAX = os.environ.get("SAM3_WINDOW_CLAMP", "1") == "1"
+
+# Normal f32 (not denormal): 1/_RS_EPS = 1e35 stays finite. Bit-identical
+# in the exact-max path (rowsum >= 1 there; eps is below one f32 ulp).
+_RS_EPS = 1e-35
 
 # Head-PAIR-packed lane layout: kernel blocks are (wpp, L, 2*D) with two
 # 64-channel heads side by side in lanes instead of (1, G, L, D). Rationale
@@ -173,13 +182,13 @@ def _pv_and_recip_rowsum(p, v):
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        return ox[..., :d], 1.0 / ox[..., d]
+        return ox[..., :d], 1.0 / (ox[..., d] + _RS_EPS)
     o = jax.lax.dot_general(
         p.astype(v.dtype), v,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    return o, 1.0 / jnp.sum(p, axis=-1)
+    return o, 1.0 / (jnp.sum(p, axis=-1) + _RS_EPS)
 
 
 def _recip_rowsum(p, dtype):
@@ -188,12 +197,12 @@ def _recip_rowsum(p, dtype):
     if _MXU_SUM:
         g, l, _ = p.shape
         ones = jnp.ones((l, 1), dtype)
-        return 1.0 / jax.lax.dot_general(
+        return 1.0 / (jax.lax.dot_general(
             p.astype(dtype), ones,
             dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )[..., 0]
-    return 1.0 / jnp.sum(p, axis=-1)
+        )[..., 0] + _RS_EPS)
+    return 1.0 / (jnp.sum(p, axis=-1) + _RS_EPS)
 
 
 def _fwd_kernel_interleave(q_ref, k_ref, v_ref, o_ref, *, scale):

@@ -12,10 +12,12 @@ object slots — objects are a batch dimension, so every per-frame stage is a
 single jitted program and "sharding objects across devices" is just a
 ``data``-axis sharding of the slot dimension (SURVEY.md §2.8).
 
-Round-1 scope: detector pass + slot assignment + tracker memory update +
-association + keep-alive/hotstart counters. The reference's long tail of
-heuristics (occlusion suppression, reconditioning cadence, hole filling) is
-layered on this state in a later round.
+Scope: detector pass + slot assignment + tracker memory update +
+association + keep-alive/hotstart counters, plus the reference's heuristic
+tail — occlusion suppression, reconditioning cadence and hole filling are
+implemented on this slot state below (``suppress_by_recent_occlusion``,
+``plan_reconditioning``/``apply_reconditioning``,
+``fill_holes_in_mask_scores``; tests/test_video_heuristics.py).
 """
 
 from __future__ import annotations

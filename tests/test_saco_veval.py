@@ -381,6 +381,35 @@ def test_phrase_hota_thresholds_and_empty_frames():
     assert res["video_mask_all_phrase_HOTA"] == pytest.approx(0.2)
 
 
+def test_phrase_hota_mask_only_prediction():
+    """A record with NO bboxes key (mask-only) keeps its detections: frame
+    emptiness falls back to area/segmentation instead of treating a missing
+    box as an empty frame (ADVICE r4 #2 — previously every frame of such a
+    record was silently nulled before HOTA)."""
+    m = np.zeros((H, W), np.uint8)
+    m[10:30, 10:30] = 1
+    segs, boxes, areas = _masklet_fields([m] * T)
+    gt = {
+        "videos": [{"id": 1, "height": H, "width": W, "length": T,
+                    "file_names": [f"{t}.jpg" for t in range(T)]}],
+        "annotations": [{"id": 1, "video_id": 1, "category_id": 1,
+                         "segmentations": segs, "bboxes": boxes, "areas": areas}],
+        "categories": [{"id": 1, "name": "c"}],
+    }
+    mask_only = {"video_id": 1, "category_id": 1, "score": 0.9,
+                 "segmentations": segs, "areas": areas}
+    res, _ = evaluate_phrase_hota(gt, [mask_only], iou_types=("segm",))
+    assert res["video_mask_all_phrase_HOTA"] == pytest.approx(1.0)
+
+    # and a frame with a None segmentation / zero area is still dropped
+    z = np.zeros((H, W), np.uint8)
+    partial = {"video_id": 1, "category_id": 1, "score": 0.9,
+               "segmentations": [segs[0], None, None, None, None],
+               "areas": [areas[0], 0, 0, 0, 0]}
+    res, _ = evaluate_phrase_hota(gt, [partial], iou_types=("segm",))
+    assert res["video_mask_all_phrase_DetA"] == pytest.approx(0.2)
+
+
 def test_video_teta_keys_and_perfect_tracker():
     gt, preds = _make_workload(4)
     res, _ = evaluate_video_teta(gt, preds, use_mask=True)

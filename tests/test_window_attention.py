@@ -152,7 +152,7 @@ def test_mxu_sum_variant_matches_oracle(
 
 @pytest.mark.parametrize("mxu_sum", [False, True])
 def test_clamp_variant_matches_oracle(interpret_kernels, monkeypatch, mxu_sum):
-    """SAM3_WINDOW_CLAMP (exp(min(s, 85)) — one VPU pass instead of the
+    """SAM3_WINDOW_CLAMP (exp(min(s, 70)) — one VPU pass instead of the
     max-reduce + subtract) must be exact for bounded logits, and must stay
     FINITE (soft saturation, not NaN) for scores past the clamp."""
     monkeypatch.setattr(wa, "_CLAMP_MAX", True)
