@@ -49,11 +49,56 @@ def _enc_remat_env() -> str:
     return v
 
 
+def bench_model_config():
+    """The EXACT headline-bench ModelConfig, env-overridable. Shared with the
+    profiling scripts (scripts/profile_bwd.py etc.) so step anatomy is
+    measured at the same config the driver benches."""
+    from sam3_lora_tpu.config import ModelConfig
+
+    return ModelConfig(
+        dtype="bfloat16",
+        # Frozen-base storage dtype. Compute is bf16 either way, so bf16
+        # storage is numerically identical in the compute path (the fp32->bf16
+        # cast happened per-use before) and halves base HBM: 3.4 GB -> 1.7 GB.
+        param_dtype=os.environ.get("BENCH_PARAM_DTYPE", "bfloat16"),
+        # int8 frozen-base GEMM tier (ops/quant.py): the QLoRA-style
+        # recommended training tier — adapters train against the quantized
+        # base (no train/serve mismatch), measured +2.9% on top of
+        # windows_only remat (2.722 -> 2.80 img/s/chip, v5e bs8).
+        base_quant=os.environ.get("BENCH_QUANT", "int8"),
+        # wo_block_mid (windows_only globals + block_mid windowed blocks)
+        # measured 3.135 vs 2.99 windows_only on v5e bs8 (PARITY session 6)
+        vit_remat_policy=os.environ.get("BENCH_REMAT", "wo_block_mid"),
+        # "1" = full layer remat (default), "0" = no remat (flash residuals
+        # saved), "ffn" = remat only the FFN sub-block (attention unrematted)
+        enc_remat=_enc_remat_env() == "1",
+        enc_remat_ffn=_enc_remat_env() == "ffn",
+        # measured on v5e bs8: decoder remat OFF is a pure win (config.py:62-68)
+        dec_remat=os.environ.get("BENCH_DEC_REMAT", "0") == "1",
+    )
+
+
+def bench_lora_config():
+    """full_lora_config surface: rank 32, alpha 64, all six components."""
+    from sam3_lora_tpu.config import LoRAConfig
+
+    return LoRAConfig(
+        rank=32,
+        alpha=64.0,
+        target_modules=(
+            "q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2",
+            "linear1", "linear2",
+        ),
+        apply_to_geometry_encoder=True,
+        apply_to_mask_decoder=True,
+    )
+
+
 def main():
     import jax
     import numpy as np
 
-    from sam3_lora_tpu.config import LoRAConfig, ModelConfig, TrainConfig
+    from sam3_lora_tpu.config import TrainConfig
     from sam3_lora_tpu.models import build_sam3_image_model, init_model_fast
     from sam3_lora_tpu.models.builder import dummy_batch
     from sam3_lora_tpu.train.losses import LossConfig
@@ -86,38 +131,8 @@ def main():
     else:
         run_tiny = False
     n_chips = max(1, len(jax.devices()))
-    cfg = cfg if run_tiny else ModelConfig(
-        dtype="bfloat16",
-        # Frozen-base storage dtype. Compute is bf16 either way, so bf16
-        # storage is numerically identical in the compute path (the fp32->bf16
-        # cast happened per-use before) and halves base HBM: 3.4 GB -> 1.7 GB.
-        param_dtype=os.environ.get("BENCH_PARAM_DTYPE", "bfloat16"),
-        # int8 frozen-base GEMM tier (ops/quant.py): the QLoRA-style
-        # recommended training tier — adapters train against the quantized
-        # base (no train/serve mismatch), measured +2.9% on top of
-        # windows_only remat (2.722 -> 2.80 img/s/chip, v5e bs8).
-        base_quant=os.environ.get("BENCH_QUANT", "int8"),
-        # wo_block_mid (windows_only globals + block_mid windowed blocks)
-        # measured 3.135 vs 2.99 windows_only on v5e bs8 (PARITY session 6)
-        vit_remat_policy=os.environ.get("BENCH_REMAT", "wo_block_mid"),
-        # "1" = full layer remat (default), "0" = no remat (flash residuals
-        # saved), "ffn" = remat only the FFN sub-block (attention unrematted)
-        enc_remat=_enc_remat_env() == "1",
-        enc_remat_ffn=_enc_remat_env() == "ffn",
-        # measured on v5e bs8: decoder remat OFF is a pure win (config.py:62-68)
-        dec_remat=os.environ.get("BENCH_DEC_REMAT", "0") == "1",
-    )
-    # full_lora_config surface: rank 32, alpha 64, all six components
-    lcfg = LoRAConfig(
-        rank=32,
-        alpha=64.0,
-        target_modules=(
-            "q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2",
-            "linear1", "linear2",
-        ),
-        apply_to_geometry_encoder=True,
-        apply_to_mask_decoder=True,
-    )
+    cfg = cfg if run_tiny else bench_model_config()
+    lcfg = bench_lora_config()
     model = build_sam3_image_model(cfg, lora=lcfg)
 
     rng = np.random.RandomState(0)

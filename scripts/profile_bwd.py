@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sam3_lora_tpu.config import LoRAConfig, ModelConfig
+from sam3_lora_tpu.config import LoRAConfig, ModelConfig  # noqa: F401 (env-tier tests)
 from sam3_lora_tpu.models import build_sam3_image_model, init_model_fast
 from sam3_lora_tpu.models.builder import dummy_batch
 from sam3_lora_tpu.train.losses import LossConfig, compute_losses
@@ -46,21 +46,28 @@ def bench(name, fn, *args):
 
 
 def main():
-    cfg = ModelConfig(dtype="bfloat16")
-    lcfg = LoRAConfig(
-        rank=32, alpha=64.0,
-        target_modules=("q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2",
-                        "linear1", "linear2"),
-        apply_to_geometry_encoder=True, apply_to_mask_decoder=True,
-    )
+    # measure at the EXACT headline-bench config (int8 prequant base,
+    # wo_block_mid, ffn-only encoder remat, uint8 images) so the anatomy
+    # explains the driver's number — env-overridable like bench.py
+    from bench import bench_lora_config, bench_model_config
+
+    cfg = bench_model_config()
+    lcfg = bench_lora_config()
     model = build_sam3_image_model(cfg, lora=lcfg)
     rng = np.random.RandomState(0)
     batch = dummy_batch(cfg, batch_size=B, with_targets=True)
     batch = batch.replace(
-        images=jnp.asarray(rng.randn(B, 3, cfg.img_size, cfg.img_size), jnp.float32)
+        images=jnp.asarray(
+            rng.randint(0, 256, (B, 3, cfg.img_size, cfg.img_size)), jnp.uint8
+        )
     )
     params = init_model_fast(model)
     trainable, frozen = split_trainable(params)
+    del params
+    if cfg.base_quant != "none" and os.environ.get("BENCH_PREQUANT", "1") == "1":
+        from sam3_lora_tpu.ops.quant import prequantize_base
+
+        frozen = prequantize_base(frozen, min_dim=cfg.base_quant_min_dim)
     key = jax.random.PRNGKey(0)
 
     # NOTE: frozen params MUST be an argument — closing over them bakes
