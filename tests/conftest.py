@@ -28,13 +28,81 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 
 # ---------------------------------------------------------------------------
-# Fast-tier curation: the "-m 'not slow'" tier must stay a <5-min signal on
-# the 1-core build host (VERDICT r2 weak #5, r3 weak #3). File-level
-# @pytest.mark.slow covers the full-model parity/integration files; the
-# entries below are the residual heavyweights from two timed runs on the
-# 1-core host (2026-08-19: 1038 s total; 2026-08-20 re-time after the first
-# tranche: 523 s). Parametrized kernel-parity tests keep at least one cheap
-# variant in the fast tier; every marked test still runs in the full suite.
+# Fast-tier curation, structural form (VERDICT r4 next-#4): the "-m 'not
+# slow'" tier must stay a <300 s signal on the 1-core build host, and
+# hand-curated nodeid lists lose the race against test growth (three rounds
+# running). The tier is now driven by a COMMITTED duration database
+# (tests/test_durations.json, recorded with `pytest --record-durations` on an
+# idle host): a test is fast only if its recorded setup+call+teardown fits
+# _FAST_TEST_BUDGET_S and its module's one-time fixture cost (max setup seen
+# in the module) fits _MODULE_SETUP_BUDGET_S. Tests with NO record — i.e.
+# every newly added test — are SLOW BY DEFAULT until the database is
+# re-recorded, so the tier can only shrink between recordings, never silently
+# regrow. Explicit @pytest.mark.slow still wins; the legacy hand lists below
+# remain only as a fallback when the database file is absent.
+import json as _json
+
+_DUR_DB_PATH = os.path.join(os.path.dirname(__file__), "test_durations.json")
+_FAST_TEST_BUDGET_S = 3.0
+_MODULE_SETUP_BUDGET_S = 10.0
+
+
+def _load_duration_db():
+    try:
+        with open(_DUR_DB_PATH) as f:
+            return _json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--record-durations", action="store_true", default=False,
+        help="record per-test durations + per-module fixture cost into "
+             "tests/test_durations.json (run on the FULL suite, idle host)",
+    )
+
+
+def pytest_configure(config):
+    if config.getoption("--record-durations"):
+        config._duration_record = {"tests": {}, "module_setup": {}}
+        config.pluginmanager.register(_DurationRecorder(config))
+
+
+class _DurationRecorder:
+    def __init__(self, config):
+        self.config = config
+
+    def pytest_runtest_logreport(self, report):
+        rec = self.config._duration_record
+        rel = report.nodeid.split("tests/")[-1]
+        mod = rel.split("::")[0]
+        rec["tests"][rel] = rec["tests"].get(rel, 0.0) + report.duration
+        if report.when == "setup":
+            ms = rec["module_setup"]
+            ms[mod] = max(ms.get(mod, 0.0), report.duration)
+
+    def pytest_sessionfinish(self, session, exitstatus):
+        rec = self.config._duration_record
+        db = _load_duration_db() or {"tests": {}, "module_setup": {}}
+        # merge: entries measured this run overwrite, others survive, so a
+        # partial re-record (one module) composes with the committed db
+        db["tests"].update({k: round(v, 3) for k, v in rec["tests"].items()})
+        db["module_setup"].update(
+            {k: round(v, 3) for k, v in rec["module_setup"].items()}
+        )
+        with open(_DUR_DB_PATH, "w") as f:
+            _json.dump(
+                {
+                    "tests": dict(sorted(db["tests"].items())),
+                    "module_setup": dict(sorted(db["module_setup"].items())),
+                },
+                f, indent=0, sort_keys=False,
+            )
+        print(f"\n[durations] wrote {len(rec['tests'])} records -> {_DUR_DB_PATH}")
+
+
+# Legacy fallback lists (used only when tests/test_durations.json is absent).
 _SLOW_ON_THIS_HOST = {
     # third tranche (2026-08-20 --durations=60 re-time: fast tier measured
     # 336.73/353.25 s after the second tranche; target <300 s with margin).
@@ -94,8 +162,20 @@ _SLOW_MODULES = {"test_agent_tools.py", "test_predictor.py", "test_tracking_pred
 def pytest_collection_modifyitems(config, items):
     import pytest as _pytest
 
+    if config.getoption("--record-durations"):
+        return  # recording runs measure everything; no tier marking
+    db = _load_duration_db()
     for item in items:
         rel = item.nodeid.split("tests/")[-1]
         mod = rel.split("::")[0]
-        if rel in _SLOW_ON_THIS_HOST or mod in _SLOW_MODULES:
+        if db is not None:
+            t = db["tests"].get(rel)
+            slow = (
+                t is None  # new/renamed test: slow until re-recorded
+                or t > _FAST_TEST_BUDGET_S
+                or db["module_setup"].get(mod, 0.0) > _MODULE_SETUP_BUDGET_S
+            )
+        else:
+            slow = rel in _SLOW_ON_THIS_HOST or mod in _SLOW_MODULES
+        if slow:
             item.add_marker(_pytest.mark.slow)
