@@ -213,9 +213,13 @@ def main():
         ds = COCOSegmentDataset(root, "train", model_config=cfg)
         loader = DataLoader(
             ds, batch_size, shuffle=False, num_workers=workers,
-            prefetch=3, drop_last=True,
+            prefetch=int(os.environ.get("BENCH_PREFETCH", "3")), drop_last=True,
         )
-        it = prefetch_to_device(iter(loader.epoch(0)), size=2, pack_bool=True)
+        it = prefetch_to_device(
+            iter(loader.epoch(0)),
+            size=int(os.environ.get("BENCH_DEVBUF", "2")),
+            pack_bool=True,
+        )
         # warm up with a REAL batch: a synthetic warmup batch can differ in
         # dtype/layout and silently recompile on the first timed step (seen
         # on v5e: one 400 s "step" in an otherwise 3.3 s run)
