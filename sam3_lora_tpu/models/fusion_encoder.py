@@ -118,7 +118,17 @@ class TransformerEncoderFusion(nn.Module):
         cfg = self.spec.model
         out = src
         layer_cls = (
-            nn.remat(EncoderLayer, static_argnums=(7,))
+            nn.remat(
+                EncoderLayer, static_argnums=(7,),
+                # save the long-attention kernel's output o: its custom VJP
+                # needs o (flash rowsum identity), so without this the
+                # backward replays the ~10 ms in-kernel forward per layer
+                # just to rebuild it (q/k/v come from the cheap in_proj GEMM
+                # replay either way). ~21 MB/layer at bs8.
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "enc_attn_out"
+                ),
+            )
             if (train and cfg.enc_remat)
             else EncoderLayer
         )

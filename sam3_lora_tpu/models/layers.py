@@ -438,6 +438,14 @@ class MultiHeadAttention(nn.Module):
                     .transpose(0, 2, 1, 3)
                     .reshape(bsz, lq, d)
                 )
+                # "enc_attn_out" save tag (fusion_encoder.py enc_remat
+                # policy): the long kernel's VJP consumes its own output o
+                # (flash rowsum identity), so saving o (~21 MB/layer at bs8)
+                # DCEs the ~10 ms in-kernel forward replay from full-layer
+                # encoder remat; identity when the policy is off.
+                from jax.ad_checkpoint import checkpoint_name
+
+                out = checkpoint_name(out, "enc_attn_out")
                 if self.dropout > 0.0 and train:
                     # same approximate output-dropout as the library flash
                     # long path below (exact prob-dropout would materialize

@@ -34,6 +34,20 @@ from flax import linen as nn
 
 from ..ops import softmax_check
 from ..ops.attention import dot_product_attention, merge_heads, split_heads
+
+
+def _tag_attn_out(out):
+    """checkpoint_name tag on the attention output (= the proj LoRALinear's
+    input), for the "wo_mid_attn" remat policy: with this tensor saved, the
+    backward's only consumers of the attention FORWARD are gone — the window
+    kernel's VJP needs just q/k/v (recomputed via the qkv GEMM from the saved
+    block input) and the proj ADAPTER grad needs this input — so the ~3.5
+    ms/block in-kernel forward replay is dead code. Identity under every
+    other policy. Cost when saved: (B, 5184, 1024) bf16 = 85 MB/block, ~2.4
+    GB across the 28 windowed blocks at bs8."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(out, "vit_attn_out")
 from ..ops.rope import apply_rope_half, compute_axial_freqs, rope_half_perm
 from ..ops.windows import window_partition, window_unpartition
 
@@ -157,6 +171,7 @@ class Attention(nn.Module):
                 out = wq.window_attention_rope_qkv(qkv, heads, scale, cos, sin)
             else:
                 out = wq.window_attention_qkv(qkv, heads, scale)
+            out = _tag_attn_out(out)
             out = LoRALinear(dim, self.spec, name="proj")(out, train=train)
             return out.reshape(b, h, w, dim)
 
@@ -191,6 +206,7 @@ class Attention(nn.Module):
                 .transpose(0, 2, 1, 3)
                 .reshape(b, l, dim)
             )
+            out = _tag_attn_out(out)
             out = LoRALinear(dim, self.spec, name="proj")(out, train=train)
             return out.reshape(b, h, w, dim)
 
@@ -233,6 +249,7 @@ class Attention(nn.Module):
                 .transpose(0, 2, 1, 3)
                 .reshape(b, l, dim)
             )
+            out = _tag_attn_out(out)
             out = LoRALinear(dim, self.spec, name="proj")(out, train=train)
             return out.reshape(b, h, w, dim)
 
@@ -258,6 +275,7 @@ class Attention(nn.Module):
             remat=(impl == "pallas" and GLOBAL_FLASH_REMAT),
         )
         out = merge_heads(out)
+        out = _tag_attn_out(out)
         out = LoRALinear(dim, self.spec, name="proj")(out, train=train)
         return out.reshape(b, h, w, dim)
 
@@ -463,8 +481,18 @@ def _remat_block(cfg, is_global: bool = False):
     if cfg.vit_remat_policy in ("block_mid", "wo_block_mid"):
         # "wo_block_mid" = windows_only globals + block_mid windowed blocks:
         # saving x_mid DCEs the window-attention kernel's forward replay from
-        # the backward (its bwd kernel recomputes q/k/v itself)
-        policy = jax.checkpoint_policies.save_only_these_names("vit_block_mid")
+        # the backward (its bwd takes only q/k/v residuals, recomputed via the
+        # qkv GEMM from the saved block input; ViT proj has no LoRA adapter,
+        # so nothing else consumes the attention output).
+        # "vit_attn_out" additionally saves the attention output o where the
+        # backward DOES consume it — the LONG-attention kernel's VJP uses o
+        # for the flash rowsum identity — which DCEs the 4 global blocks'
+        # ~15.5 ms in-kernel forward replay under "block_mid" (the
+        # bs10+/bs12 fitting config) for +85 MB/block; in windowed blocks o
+        # has no backward consumer and XLA drops the save entirely.
+        policy = jax.checkpoint_policies.save_only_these_names(
+            "vit_block_mid", "vit_attn_out"
+        )
     elif cfg.vit_remat_policy not in ("full", "windows_only"):
         raise ValueError(f"unknown vit_remat_policy: {cfg.vit_remat_policy}")
     return nn.remat(Block, static_argnums=(3,), policy=policy)

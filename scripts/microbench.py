@@ -61,6 +61,25 @@ def main():
            lambda a, u, v: jax.nn.gelu(a @ u, approximate=False) @ v,
            x, w1, w2, flops=2 * N * D * H * 2)
 
+    # int8 tiers at the same shapes: prequant (the production fwd path —
+    # weight already int8+scales) vs dynamic (quantizes W per call), and the
+    # bwd dx GEMM through the custom VJP. Rates here are the roofline
+    # denominators for the GEMM stages (scripts/roofline.py).
+    from sam3_lora_tpu.ops.quant import int8_matmul_prequant, quantize_weight
+
+    w1q, w1s = jax.jit(quantize_weight)(w1)
+    timeit("gemm int8 prequant (fc1 shape) fwd",
+           lambda a, q_, s_: int8_matmul_prequant(a, q_, s_), x, w1q, w1s,
+           flops=2 * N * D * H)
+
+    def int8_dx(a, q_, s_):
+        f = lambda a: jnp.sum(
+            int8_matmul_prequant(a, q_, s_).astype(jnp.float32))
+        return jax.grad(f)(a)
+
+    timeit("gemm int8 prequant (fc1 shape) fwd+dx", int8_dx, x, w1q, w1s,
+           flops=2 * N * D * H * 2)
+
     # window attention: (B*9 windows, 16 heads, 576, 64)
     WB, HD, L, DH = B * 9, 16, 576, 64
     q = jax.random.normal(key, (WB, HD, L, DH), jnp.bfloat16)

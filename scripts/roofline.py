@@ -107,8 +107,12 @@ def main():
         + 2.5 * (s["vit_windowed_attn"] + s["vit_global_attn"]
                  + s["enc_attn"] + s["dec_attn"])
     )
+    # wo_block_mid replay per windowed block: qkv GEMM (window VJP's q/k/v
+    # residuals) + fc1+gelu (fc2 adapter's input); the window-attn fwd and
+    # proj/fc2 GEMMs are NOT replayed (mid saved, ViT proj unadapted).
+    # Encoder ffn-remat replays the FFN GEMMs. Globals unrematted.
     replay = (
-        s["vit_windowed_gemm"] + s["vit_windowed_attn"]
+        N_WINDOWED * (gemm(N_TOK, D_VIT, 3 * D_VIT) + gemm(N_TOK, D_VIT, HID))
         + ENC_LAYERS * (gemm(N_TOK, D_ENC, ENC_FFN) + gemm(N_TOK, ENC_FFN, D_ENC))
     )
     tot = fwd_img + bwd + replay
@@ -126,9 +130,8 @@ def main():
         "dec_attn": 44e12,             # assume window-kernel-class rate
     }
     gemm_fwd = sum(v for k, v in s.items() if k.endswith("gemm"))
-    gemm_bwd_replay = gemm_fwd + s["vit_windowed_gemm"] + ENC_LAYERS * (
-        gemm(N_TOK, D_ENC, ENC_FFN) + gemm(N_TOK, ENC_FFN, D_ENC))
-    attn_win = 3.5 * s["vit_windowed_attn"] + s["vit_windowed_attn"]  # fwd+bwd+replay
+    gemm_bwd_replay = gemm_fwd + replay
+    attn_win = 3.5 * s["vit_windowed_attn"]  # fwd + bwd (no replay, see above)
     attn_glob = 3.5 * s["vit_global_attn"]
     attn_enc = 3.5 * s["enc_attn"]
     attn_dec = 3.5 * s["dec_attn"]
