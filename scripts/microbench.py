@@ -140,7 +140,11 @@ def main():
     from sam3_lora_tpu.models.vit import Block
     from sam3_lora_tpu.models.layers import Spec
 
-    cfg = ModelConfig(dtype="bfloat16")
+    # int8 dynamic tier: the Block numbers then measure the BENCH GEMM path
+    # (the prequant variant only moves the per-call weight-quant pass)
+    cfg = ModelConfig(
+        dtype="bfloat16", base_quant=os.environ.get("MB_QUANT", "int8")
+    )
     lcfg = LoRAConfig(rank=32, alpha=64.0,
                       target_modules=("q_proj", "k_proj", "v_proj", "out_proj",
                                       "fc1", "fc2", "linear1", "linear2"),
@@ -172,6 +176,30 @@ def main():
 
     timeit("windowed Block fwd+bwd(dx) REMAT", blk_bwd_remat, params, xb,
            flops=blk_flops * 4)
+
+    # the REAL in-step block backward: ADAPTER grads (fc1/fc2 lora_a/b skinny
+    # GEMMs included) + dx, under the production wo_block_mid policy (mid
+    # saved -> replay is qkv+fc1 only, not the full fwd)
+    from sam3_lora_tpu.train.trainer import merge_trainable, split_trainable
+
+    tr, fz = split_trainable(params)
+    pol = jax.checkpoint_policies.save_only_these_names(
+        "vit_block_mid", "vit_attn_out"
+    )
+
+    def blk_bwd_step(tr_, fz_, a):
+        def f(tr_, a):
+            p = merge_trainable(tr_, fz_)
+            g = jax.checkpoint(
+                lambda a: blk.apply(p, a, jnp.float32(0.0), False),
+                policy=pol,
+            )
+            return jnp.sum(g(a).astype(jnp.float32))
+
+        return jax.grad(f, argnums=(0, 1))(tr_, a)
+
+    timeit("windowed Block fwd+bwd(adapters+dx) BLOCK_MID", blk_bwd_step,
+           tr, fz, xb, flops=blk_flops * 3)
 
 
 if __name__ == "__main__":
