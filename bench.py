@@ -75,6 +75,10 @@ def bench_model_config():
         enc_remat_ffn=_enc_remat_env() == "ffn",
         # measured on v5e bs8: decoder remat OFF is a pure win (config.py:62-68)
         dec_remat=os.environ.get("BENCH_DEC_REMAT", "0") == "1",
+        # "0" = flat per-block layout (no nn.scan): lets XLA schedule the 28
+        # windowed blocks' backward with cross-block overlap, at compile-time
+        # + HBM-concurrency cost (r1: OOM'd; retry under the r4/r5 memory)
+        vit_scan_blocks=os.environ.get("BENCH_SCAN", "1") == "1",
     )
 
 
