@@ -72,12 +72,16 @@ def main():
            lambda a, q_, s_: int8_matmul_prequant(a, q_, s_), x, w1q, w1s,
            flops=2 * N * D * H)
 
-    def int8_dx(a, q_, s_):
+    # random cotangent: with a sum-loss XLA constant-folds the ones-dy dx
+    # GEMM into a column reduction (first run measured a bogus 226 TF/s)
+    ct = jax.random.normal(jax.random.fold_in(key, 7), (N, H), jnp.float32)
+
+    def int8_dx(a, q_, s_, c_):
         f = lambda a: jnp.sum(
-            int8_matmul_prequant(a, q_, s_).astype(jnp.float32))
+            int8_matmul_prequant(a, q_, s_).astype(jnp.float32) * c_)
         return jax.grad(f)(a)
 
-    timeit("gemm int8 prequant (fc1 shape) fwd+dx", int8_dx, x, w1q, w1s,
+    timeit("gemm int8 prequant (fc1 shape) fwd+dx", int8_dx, x, w1q, w1s, ct,
            flops=2 * N * D * H * 2)
 
     # window attention: (B*9 windows, 16 heads, 576, 64)
