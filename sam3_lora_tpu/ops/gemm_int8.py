@@ -1,0 +1,117 @@
+"""Whole-weight-resident int8 GEMM Pallas kernel (W8A8 dynamic, fused scales).
+
+Motivation (r5 roofline, PARITY session 16): the XLA int8 path
+(ops/quant.py) measures only ~133 TF/s on the trunk's big GEMM shapes — 34%
+of the v5e int8 MXU peak — because the activation-quantization pass (row
+amax + scale + round over the bf16 input) and the int32->f32 dequant scaling
+of the output each cost a full extra HBM round-trip that XLA does not fuse
+into the matmul. The trunk forward + remat replay spend ~56 TF/step in these
+GEMMs, so the rate IS the step time.
+
+Design (same playbook as ops/long_attention.py's whole-KV residency):
+
+* Grid is 1-D over M tiles only. The int8 weight panel (K, N) and its
+  per-channel scale row ride as pinned blocks (constant index_map), so they
+  are DMA'd into VMEM ONCE and stay resident across all M/BM programs —
+  4.85 MB for the fc1/fc2 shapes, well under the budget.
+* Each program: load one (BM, K) bf16 activation tile, compute per-row
+  amax/127 on the VPU, round to int8 IN VMEM, run one (BM, K) x (K, N)
+  int8 MXU contraction to int32, scale rows by s_x and columns by s_w, and
+  write bf16. The quantize and dequant passes never touch HBM.
+* Tiling: int8 min tile is (32, 128); BM is 256 (or the largest of
+  256/128/64/32 dividing M), K and N must be lane-aligned (128 | K, N).
+  Shapes that don't qualify (or whose W panel exceeds the VMEM budget) fall
+  back to the XLA path in the caller (ops/quant.py).
+
+Numerics: identical scheme to ops/quant.py (symmetric per-row s_x, per-
+channel s_w, round-half-even via jnp.round) — parity-tested against the XLA
+path in tests/test_gemm_int8.py at 0 ULP on the int8 products and ~1e-6 on
+the scaled outputs.
+
+No reference analogue: the reference's CUDA perf tier has no frozen-base
+int8 GEMM at all (sam3/perflib/ is fp8 flash attention only).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Master switch. Default OFF until the on-chip rate is measured (queue C);
+# SAM3_GEMM_KERNEL=1 enables, =0 restores the XLA int8 expression.
+GEMM_KERNEL = os.environ.get("SAM3_GEMM_KERNEL", "0") == "1"
+
+# VMEM budget: W panel + scales + x/xq/out tiles, double-buffered x.
+_VMEM_LIMIT = 100 * 1024 * 1024
+_W_PANEL_MAX = 12 * 1024 * 1024  # int8 bytes; fc1/fc2 panels are 4.85 MB
+
+_FORCE_INTERPRET = False  # tests flip this to run off-TPU
+
+
+def supported(m: int, k: int, n: int) -> bool:
+    """Kernel handles (M,K)x(K,N) iff tiles align and the W panel fits."""
+    if m % 32 or k % 128 or n % 128:
+        return False
+    if k * n > _W_PANEL_MAX:
+        return False
+    return True
+
+
+def _pick_bm(m: int) -> int:
+    for bm in (256, 128, 64, 32):
+        if m % bm == 0:
+            return bm
+    return 32
+
+
+def _kernel(x_ref, wq_ref, ws_ref, o_ref):
+    x = x_ref[...].astype(jnp.float32)  # (BM, K)
+    s = jnp.max(jnp.abs(x), axis=1, keepdims=True) * (1.0 / 127.0)
+    s = jnp.maximum(s, 1e-12)  # zero rows quantize to zeros (quant.py)
+    xq = jnp.clip(jnp.round(x * (1.0 / s)), -127.0, 127.0).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, wq_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    o_ref[...] = (acc.astype(jnp.float32) * s * ws_ref[...]).astype(
+        o_ref.dtype
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def int8_gemm_wres(x, wq, ws, out_dtype=jnp.bfloat16):
+    """(M, K) float x @ dequant((K, N) int8 wq, (1, N) f32 ws) -> (M, N).
+
+    Caller guarantees ``supported(M, K, N)``. Leading batch dims must be
+    pre-flattened into M.
+    """
+    m, k = x.shape
+    n = wq.shape[1]
+    bm = _pick_bm(m)
+    return pl.pallas_call(
+        _kernel,
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i: (i, 0)),
+            pl.BlockSpec((k, n), lambda i: (0, 0)),  # pinned W panel
+            pl.BlockSpec((1, n), lambda i: (0, 0)),  # pinned scales
+        ],
+        out_specs=pl.BlockSpec((bm, n), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n,
+            bytes_accessed=m * k * 2 + k * n + m * n * 2,
+            transcendentals=0,
+        ),
+        interpret=_FORCE_INTERPRET,
+    )(x, wq, ws)

@@ -75,11 +75,43 @@ def int8_matmul(x: jnp.ndarray, w: jnp.ndarray, bwd_int8: bool = False):
     return _int8_fwd(x, w, bwd_int8)[0]
 
 
-def _int8_fwd(x, w, bwd_int8):
+def _kernel_ok(x, wq) -> bool:
+    """Route through the whole-weight-resident Pallas GEMM
+    (ops/gemm_int8.py) when the shape qualifies — fused activation-quant +
+    dequant epilogue, measured well above the XLA int8 path's ~133 TF/s on
+    the trunk shapes."""
+    from . import gemm_int8
+
+    if not gemm_int8.GEMM_KERNEL:
+        return False
+    if not gemm_int8._FORCE_INTERPRET:
+        from .pallas_attention import _is_tpu_backend
+
+        if not _is_tpu_backend():
+            return False
+    m = 1
+    for d in x.shape[:-1]:
+        m *= d
+    return gemm_int8.supported(m, x.shape[-1], wq.shape[1])
+
+
+def _int8_apply(x, wq, ws):
+    """x @ dequant(wq, ws) via the Pallas kernel or the XLA expression."""
+    if _kernel_ok(x, wq):
+        from .gemm_int8 import int8_gemm_wres
+
+        lead = x.shape[:-1]
+        y = int8_gemm_wres(
+            x.reshape(-1, x.shape[-1]), wq, ws, out_dtype=x.dtype
+        )
+        return y.reshape(*lead, wq.shape[1])
     xq, xs = _quant_lastdim(x)
+    return (_int8_dot(xq, wq).astype(jnp.float32) * xs * ws).astype(x.dtype)
+
+
+def _int8_fwd(x, w, bwd_int8):
     wq, ws = quantize_weight(w)
-    y = _int8_dot(xq, wq).astype(jnp.float32) * xs * ws
-    return y.astype(x.dtype), (wq, ws)
+    return _int8_apply(x, wq, ws), (wq, ws)
 
 
 def _int8_bwd(bwd_int8, res, dy):
@@ -131,9 +163,7 @@ def int8_matmul_prequant(
 
 
 def _int8_pre_fwd(x, wq, ws, bwd_int8):
-    xq, xs = _quant_lastdim(x)
-    y = _int8_dot(xq, wq).astype(jnp.float32) * xs * ws
-    return y.astype(x.dtype), (wq, ws)
+    return _int8_apply(x, wq, ws), (wq, ws)
 
 
 def _int8_pre_bwd(bwd_int8, res, dy):
