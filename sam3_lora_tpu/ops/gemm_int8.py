@@ -42,9 +42,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Master switch. Default OFF until the on-chip rate is measured (queue C);
-# SAM3_GEMM_KERNEL=1 enables, =0 restores the XLA int8 expression.
-GEMM_KERNEL = os.environ.get("SAM3_GEMM_KERNEL", "0") == "1"
+# Master switch, default ON for the shapes `supported` admits (measured
+# winners only); SAM3_GEMM_KERNEL=0 restores the XLA int8 expression.
+GEMM_KERNEL = os.environ.get("SAM3_GEMM_KERNEL", "1") == "1"
 
 # VMEM budget: W panel + scales + x/xq/out tiles, double-buffered x.
 _VMEM_LIMIT = 100 * 1024 * 1024
@@ -54,10 +54,18 @@ _FORCE_INTERPRET = False  # tests flip this to run off-TPU
 
 
 def supported(m: int, k: int, n: int) -> bool:
-    """Kernel handles (M,K)x(K,N) iff tiles align and the W panel fits."""
+    """Kernel handles (M,K)x(K,N) iff tiles align, the W panel fits, AND the
+    shape is one where it beats the XLA W8A8 path. On-chip A/B
+    (scripts/bench_gemm.py, v5e, M=41472): fc1 199.9 vs 178.8 TF/s, fc2
+    180.2 vs 107.6 (the K=4736 activation-quant pass is what XLA fails to
+    fuse), but qkv (K=1024, N=3072) REGRESSES to 73.7 vs 141.9 and proj ties
+    — so the kernel is gated to shapes with a >=4096 contraction or output
+    dim (the ViT MLP fc1/fc2, the FLOP majority of the trunk)."""
     if m % 32 or k % 128 or n % 128:
         return False
     if k * n > _W_PANEL_MAX:
+        return False
+    if max(k, n) < 4096:
         return False
     return True
 

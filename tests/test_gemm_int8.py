@@ -59,9 +59,11 @@ def test_zero_rows_quantize_to_zero(interpret):
 def test_supported_gating():
     assert gemm_int8.supported(41472, 1024, 4736)   # fc1
     assert gemm_int8.supported(41472, 4736, 1024)   # fc2
-    assert gemm_int8.supported(41472, 1024, 3072)   # qkv
-    assert not gemm_int8.supported(41471, 1024, 1024)  # M not 32-aligned
-    assert not gemm_int8.supported(256, 1000, 1024)    # K not lane-aligned
+    # qkv/proj measured SLOWER through the kernel (bench_gemm A/B) — gated out
+    assert not gemm_int8.supported(41472, 1024, 3072)
+    assert not gemm_int8.supported(41472, 1024, 1024)
+    assert not gemm_int8.supported(41471, 4736, 1024)  # M not 32-aligned
+    assert not gemm_int8.supported(256, 1000, 4736)    # K not lane-aligned
     assert not gemm_int8.supported(256, 4096, 4096)    # W panel > budget
 
 
@@ -69,10 +71,12 @@ def test_prequant_matmul_routes_and_grads_match(interpret):
     """int8_matmul_prequant through the kernel: forward matches the XLA
     expression and dx (custom VJP, unchanged) stays exact."""
     key = jax.random.PRNGKey(3)
+    # n >= 4096 so the routing gate actually admits the kernel
     x = jax.random.normal(key, (64, 128), jnp.float32)
-    w = jax.random.normal(jax.random.fold_in(key, 1), (128, 256), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 1), (128, 4736), jnp.float32)
     wq, ws = jax.jit(quant.quantize_weight)(w)
-    ct = jax.random.normal(jax.random.fold_in(key, 2), (64, 256), jnp.float32)
+    ct = jax.random.normal(jax.random.fold_in(key, 2), (64, 4736), jnp.float32)
+    assert quant._kernel_ok(x, wq)
 
     def loss(x):
         return jnp.sum(quant.int8_matmul_prequant(x, wq, ws) * ct)
@@ -80,24 +84,25 @@ def test_prequant_matmul_routes_and_grads_match(interpret):
     ref = _xla_ref(x, wq, ws)
     got = quant.int8_matmul_prequant(x, wq, ws)
     np.testing.assert_allclose(
-        np.asarray(got), np.asarray(ref), rtol=0, atol=1e-5
+        np.asarray(got), np.asarray(ref), rtol=0, atol=1e-4
     )
     # dx = ct @ dequant(W)^T regardless of the forward implementation
     dx = jax.grad(loss)(x)
     w_deq = (wq.astype(jnp.float32) * ws).astype(jnp.float32)
     np.testing.assert_allclose(
-        np.asarray(dx), np.asarray(ct @ w_deq.T), rtol=1e-5, atol=1e-5
+        np.asarray(dx), np.asarray(ct @ w_deq.T), rtol=1e-4, atol=1e-4
     )
 
 
 def test_batched_leading_dims_flatten(interpret):
     key = jax.random.PRNGKey(4)
     x = jax.random.normal(key, (2, 32, 128), jnp.float32)  # (B, L, K)
-    w = jax.random.normal(jax.random.fold_in(key, 1), (128, 256), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 1), (128, 4736), jnp.float32)
     wq, ws = jax.jit(quant.quantize_weight)(w)
+    assert quant._kernel_ok(x, wq)
     got = quant.int8_matmul_prequant(x, wq, ws)
     ref = _xla_ref(x, wq, ws)
-    assert got.shape == (2, 32, 256)
+    assert got.shape == (2, 32, 4736)
     np.testing.assert_allclose(
-        np.asarray(got), np.asarray(ref), rtol=0, atol=1e-5
+        np.asarray(got), np.asarray(ref), rtol=0, atol=1e-4
     )
