@@ -92,6 +92,62 @@ def _kernel(x_ref, wq_ref, ws_ref, o_ref):
     )
 
 
+# --- bf16 dx variant: dx = dy @ W^T with the (K, N) W panel pinned --------
+# The backward's dx GEMMs run bf16 (int8 dy quantization measured a net
+# loss, PARITY session 13) at XLA's ~110-136 TF/s; this kernel streams
+# (BM, N) dy tiles against the resident dequantized W panel and contracts
+# over N in one MXU call per tile. Opt-in until the on-chip A/B
+# (SAM3_GEMM_BWD_KERNEL=1; scripts/bench_gemm.py --bwd rows).
+GEMM_BWD_KERNEL = os.environ.get("SAM3_GEMM_BWD_KERNEL", "0") == "1"
+
+
+def supported_nt(m: int, k: int, n: int) -> bool:
+    """dy (M, N) x W (K, N) -> (M, K), contracting N. bf16 panel budget."""
+    if m % 32 or k % 128 or n % 128:
+        return False
+    if k * n * 2 > _W_PANEL_MAX:
+        return False
+    if max(k, n) < 4096:
+        return False
+    return True
+
+
+def _kernel_nt(dy_ref, w_ref, o_ref):
+    o_ref[...] = jax.lax.dot_general(
+        dy_ref[...], w_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def bf16_gemm_wres_nt(dy, w, out_dtype=jnp.bfloat16):
+    """(M, N) dy @ (K, N) w^T -> (M, K); w panel pinned in VMEM."""
+    m, n = dy.shape
+    k = w.shape[0]
+    bm = _pick_bm(m)
+    return pl.pallas_call(
+        _kernel_nt,
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, n), lambda i: (i, 0)),
+            pl.BlockSpec((k, n), lambda i: (0, 0)),  # pinned W panel
+        ],
+        out_specs=pl.BlockSpec((bm, k), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m, k), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n,
+            bytes_accessed=m * n * 2 + k * n * 2 + m * k * 2,
+            transcendentals=0,
+        ),
+        interpret=_FORCE_INTERPRET,
+    )(dy, w)
+
+
 @functools.partial(jax.jit, static_argnames=("out_dtype",))
 def int8_gemm_wres(x, wq, ws, out_dtype=jnp.bfloat16):
     """(M, K) float x @ dequant((K, N) int8 wq, (1, N) f32 ws) -> (M, N).

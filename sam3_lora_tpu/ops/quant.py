@@ -134,12 +134,28 @@ def _int8_bwd(bwd_int8, res, dy):
         )
     else:
         w_deq = (wq.astype(jnp.float32) * ws).astype(xdtype)
-        dx = jax.lax.dot_general(
-            dy.astype(xdtype),
-            w_deq,
-            (((dy.ndim - 1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        from . import gemm_int8
+
+        m = 1
+        for d in dy.shape[:-1]:
+            m *= d
+        k, n = wq.shape
+        use_nt = gemm_int8.GEMM_BWD_KERNEL and gemm_int8.supported_nt(m, k, n)
+        if use_nt and not gemm_int8._FORCE_INTERPRET:
+            from .pallas_attention import _is_tpu_backend
+
+            use_nt = _is_tpu_backend()
+        if use_nt:
+            dx = gemm_int8.bf16_gemm_wres_nt(
+                dy.astype(xdtype).reshape(m, n), w_deq, out_dtype=jnp.float32
+            ).reshape(*dy.shape[:-1], k)
+        else:
+            dx = jax.lax.dot_general(
+                dy.astype(xdtype),
+                w_deq,
+                (((dy.ndim - 1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
     dw = jnp.zeros(wq.shape, jnp.float32)  # frozen leaf: DCE'd by XLA
     return dx.astype(xdtype), dw
 

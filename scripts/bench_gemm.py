@@ -71,6 +71,22 @@ def main():
             )
         else:
             print(f"{name} int8 PALLAS wres: shape not supported")
+        # dx = dy @ W^T at the same shape (the bwd's bf16 GEMM)
+        dy = jax.random.normal(jax.random.fold_in(key, 2), (N_TOK, n),
+                               jnp.bfloat16)
+        timeit(
+            f"{name} dx bf16 XLA (dy@W^T)",
+            lambda d_, b_: jax.lax.dot_general(
+                d_, b_, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32),
+            dy, wb, flops=fl,
+        )
+        if gemm_int8.supported_nt(N_TOK, k, n):
+            timeit(
+                f"{name} dx bf16 PALLAS wres",
+                lambda d_, b_: gemm_int8.bf16_gemm_wres_nt(d_, b_),
+                dy, wb, flops=fl,
+            )
 
 
 if __name__ == "__main__":

@@ -94,6 +94,37 @@ def test_prequant_matmul_routes_and_grads_match(interpret):
     )
 
 
+def test_bf16_nt_kernel_matches_dot_general(interpret):
+    key = jax.random.PRNGKey(5)
+    m, k, n = 64, 256, 128
+    dy = jax.random.normal(key, (m, n), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 1), (k, n), jnp.float32)
+    got = gemm_int8.bf16_gemm_wres_nt(dy, w, out_dtype=jnp.float32)
+    ref = jax.lax.dot_general(
+        dy, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_bwd_kernel_routing_dx_exact(interpret, monkeypatch):
+    """With SAM3_GEMM_BWD_KERNEL on, int8_matmul_prequant's dx routes
+    through bf16_gemm_wres_nt and stays exact vs ct @ dequant(W)^T."""
+    monkeypatch.setattr(gemm_int8, "GEMM_BWD_KERNEL", True)
+    key = jax.random.PRNGKey(6)
+    x = jax.random.normal(key, (64, 128), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 1), (128, 4736), jnp.float32)
+    wq, ws = jax.jit(quant.quantize_weight)(w)
+    ct = jax.random.normal(jax.random.fold_in(key, 2), (64, 4736), jnp.float32)
+    assert gemm_int8.supported_nt(64, 128, 4736)
+    dx = jax.grad(
+        lambda x: jnp.sum(quant.int8_matmul_prequant(x, wq, ws) * ct)
+    )(x)
+    w_deq = wq.astype(jnp.float32) * ws
+    np.testing.assert_allclose(
+        np.asarray(dx), np.asarray(ct @ w_deq.T), rtol=1e-4, atol=1e-4
+    )
+
+
 def test_batched_leading_dims_flatten(interpret):
     key = jax.random.PRNGKey(4)
     x = jax.random.normal(key, (2, 32, 128), jnp.float32)  # (B, L, K)
