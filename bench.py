@@ -75,10 +75,13 @@ def bench_model_config():
         enc_remat_ffn=_enc_remat_env() == "ffn",
         # measured on v5e bs8: decoder remat OFF is a pure win (config.py:62-68)
         dec_remat=os.environ.get("BENCH_DEC_REMAT", "0") == "1",
-        # "0" = flat per-block layout (no nn.scan): lets XLA schedule the 28
-        # windowed blocks' backward with cross-block overlap, at compile-time
-        # + HBM-concurrency cost (r1: OOM'd; retry under the r4/r5 memory)
-        vit_scan_blocks=os.environ.get("BENCH_SCAN", "1") == "1",
+        # Default "0" = flat per-block layout (no nn.scan): XLA schedules the
+        # 28 windowed blocks' backward with cross-block overlap — measured
+        # 3.679 vs 3.636 img/s/chip (step 2.1747 vs 2.2001, r5 queue B
+        # FLAT_BS8) now that the r4/r5 memory fixes let it fit (r1: OOM'd).
+        # nn.scan remains the ModelConfig default for compile-time-sensitive
+        # training flows; "1" restores it here.
+        vit_scan_blocks=os.environ.get("BENCH_SCAN", "0") == "1",
     )
 
 
