@@ -128,7 +128,11 @@ class LoRALinear(nn.Module):
             # The scale param is filled by ops.quant.prequantize_base (the
             # kernel leaf becomes int8); un-transformed trees take the
             # dynamic-quantization path with identical numerics.
-            from ..ops.quant import int8_matmul, int8_matmul_prequant
+            from ..ops.quant import (
+                int8_lora_matmul_prequant,
+                int8_matmul,
+                int8_matmul_prequant,
+            )
 
             scale = self.param(
                 "kernel_scale",
@@ -138,6 +142,50 @@ class LoRALinear(nn.Module):
             )
             if perm is not None:
                 scale = jnp.take(scale, perm, axis=1)
+            rank_f = self.lora_rank()
+            lcfg_f = self.spec.lora
+            from ..ops.quant import _kernel_ok
+
+            if (
+                kernel.dtype == jnp.int8
+                and rank_f > 0
+                and mcfg.base_quant == "int8"
+                and (not train or lcfg_f.dropout == 0.0)
+                and _kernel_ok(x, kernel)
+            ):
+                # FUSED base+adapter path (ops/quant.py
+                # int8_lora_matmul_prequant / gemm_int8.int8_lora_gemm_wres):
+                # one launch, adapter panels pinned in VMEM, delta add fused
+                # into the output write. Inapplicable with LoRA dropout in
+                # train (the branch sees a masked input) — falls through to
+                # the unfused chain below. Bias is added after the fused sum
+                # (the unfused path adds it before the delta; both are
+                # bf16-rounding-equivalent).
+                lora_a = self.param(
+                    "lora_a", kaiming_uniform_a5, (in_features, rank_f),
+                    jnp.float32,
+                )
+                lora_b = self.param(
+                    "lora_b", nn.initializers.zeros_init(),
+                    (rank_f, self.features), jnp.float32,
+                )
+                lb = (
+                    jnp.take(lora_b, perm, axis=1)
+                    if perm is not None else lora_b
+                )
+                y = int8_lora_matmul_prequant(
+                    x.astype(dtype), kernel, scale, lora_a, lb,
+                    float(lcfg_f.alpha / rank_f),
+                )
+                if self.use_bias:
+                    bias = self.param(
+                        "bias", self.bias_init, (self.features,),
+                        self.spec.param_dtype,
+                    )
+                    if perm is not None:
+                        bias = jnp.take(bias, perm, axis=0)
+                    y = y + bias.astype(dtype)
+                return y
             if kernel.dtype == jnp.int8:
                 y = int8_matmul_prequant(
                     x.astype(dtype), kernel, scale,

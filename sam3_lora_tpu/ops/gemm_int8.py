@@ -92,6 +92,86 @@ def _kernel(x_ref, wq_ref, ws_ref, o_ref):
     )
 
 
+def _make_lora_kernel(scale: float, cdtype):
+    """int8 base GEMM + fused LoRA branch: o = deq(xq @ wq) + scale*(x a) b.
+
+    The adapter panels a (K, r) / b (r, N) ride pinned in VMEM (r=32: 64 KB
+    + 300 KB at the MLP shapes); the two skinny dots run in the compute
+    dtype with f32 accumulation, matching models/layers.py's XLA chain, and
+    the delta add fuses into the output write — the XLA path materializes
+    the (M, N) delta and re-reads y for the add (one full HBM round-trip
+    per adapted GEMM, fwd AND replay)."""
+
+    def kernel(x_ref, wq_ref, ws_ref, a_ref, b_ref, o_ref):
+        x = x_ref[...].astype(jnp.float32)
+        s = jnp.max(jnp.abs(x), axis=1, keepdims=True) * (1.0 / 127.0)
+        s = jnp.maximum(s, 1e-12)
+        xq = jnp.clip(jnp.round(x * (1.0 / s)), -127.0, 127.0).astype(
+            jnp.int8
+        )
+        acc = jax.lax.dot_general(
+            xq, wq_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        xa = jax.lax.dot_general(
+            x_ref[...].astype(cdtype), a_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        delta = jax.lax.dot_general(
+            xa.astype(cdtype), b_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[...] = (
+            acc.astype(jnp.float32) * s * ws_ref[...] + delta * scale
+        ).astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "out_dtype", "compute_dtype")
+)
+def int8_lora_gemm_wres(
+    x, wq, ws, a, b, scale, out_dtype=jnp.bfloat16,
+    compute_dtype=jnp.bfloat16,
+):
+    """Fused y = dequant(x @ wq) + scale * (x @ a) @ b; W/a/b panels pinned.
+
+    a: (K, r) / b: (r, N) in the COMPUTE dtype (cast by the caller, as the
+    XLA chain does); r must be a multiple of 8 (sublane) — rank 32 is.
+    """
+    m, k = x.shape
+    n = wq.shape[1]
+    r = a.shape[1]
+    bm = _pick_bm(m)
+    return pl.pallas_call(
+        _make_lora_kernel(float(scale), compute_dtype),
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i: (i, 0)),
+            pl.BlockSpec((k, n), lambda i: (0, 0)),  # pinned W panel
+            pl.BlockSpec((1, n), lambda i: (0, 0)),
+            pl.BlockSpec((k, r), lambda i: (0, 0)),  # pinned adapters
+            pl.BlockSpec((r, n), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, n), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * (k + r) + 2 * m * k * r,
+            bytes_accessed=m * k * 2 + k * n + m * n * 2,
+            transcendentals=0,
+        ),
+        interpret=_FORCE_INTERPRET,
+    )(x, wq, ws, a, b)
+
+
 # --- bf16 dx variant: dx = dy @ W^T with the (K, N) W panel pinned --------
 # The backward's dx GEMMs run bf16 (int8 dy quantization measured a net
 # loss, PARITY session 13) at XLA's ~110-136 TF/s; this kernel streams

@@ -191,6 +191,103 @@ def _int8_pre_bwd(bwd_int8, res, dy):
 int8_matmul_prequant.defvjp(_int8_pre_fwd, _int8_pre_bwd)
 
 
+# --- fused base + LoRA-adapter GEMM -----------------------------------------
+# y = dequant(x @ wq) + scale * (x @ la) @ lb in ONE kernel launch
+# (ops/gemm_int8.py::int8_lora_gemm_wres): the adapter panels ride pinned in
+# VMEM and the delta add fuses into the output write, where the XLA chain
+# materializes the (M, N) delta and re-reads y (a full HBM round-trip per
+# adapted GEMM, forward AND remat replay). Backward mirrors the autodiff of
+# models/layers.py's unfused chain: skinny adapter grads in the compute
+# dtype with f32 accumulation, base dx through the dequantized weight.
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def int8_lora_matmul_prequant(x, wq, ws, la, lb, scale: float):
+    """x: (..., K); wq int8 (K, N); ws f32 (1, N); la f32 (K, r);
+    lb f32 (r, N); scale = alpha/rank. Returns (..., N) in x.dtype."""
+    return _int8_lora_fwd(x, wq, ws, la, lb, scale)[0]
+
+
+def _adapter_delta(x, la, lb, dtype):
+    xa = jax.lax.dot_general(
+        x.astype(dtype), la.astype(dtype),
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return jax.lax.dot_general(
+        xa.astype(dtype), lb.astype(dtype),
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _int8_lora_fwd(x, wq, ws, la, lb, scale):
+    dtype = x.dtype
+    if _kernel_ok(x, wq):
+        from .gemm_int8 import int8_lora_gemm_wres
+
+        lead = x.shape[:-1]
+        y = int8_lora_gemm_wres(
+            x.reshape(-1, x.shape[-1]), wq, ws,
+            la.astype(dtype), lb.astype(dtype), float(scale),
+            out_dtype=dtype, compute_dtype=dtype,
+        ).reshape(*lead, wq.shape[1])
+    else:
+        y = _int8_apply(x, wq, ws)
+        y = (
+            y.astype(jnp.float32) + _adapter_delta(x, la, lb, dtype) * scale
+        ).astype(dtype)
+    return y, (x, wq, ws, la, lb)
+
+
+def _int8_lora_bwd(scale, res, dy):
+    x, wq, ws, la, lb = res
+    dtype = dy.dtype
+    k, n = wq.shape
+    r = la.shape[1]
+    # base dx (same expression as _int8_bwd's bf16 branch)
+    w_deq = (wq.astype(jnp.float32) * ws).astype(dtype)
+    dx = jax.lax.dot_general(
+        dy, w_deq, (((dy.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # adapter contributions, skinny GEMMs in the compute dtype
+    dyb = jax.lax.dot_general(  # (..., r) = dy @ lb^T
+        dy, lb.astype(dtype), (((dy.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dx = dx + scale * jax.lax.dot_general(
+        dyb.astype(dtype), la.astype(dtype),
+        (((dy.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    xf = x.reshape(-1, k).astype(dtype)
+    dyf = dy.reshape(-1, n)
+    dybf = dyb.reshape(-1, r).astype(dtype)
+    da = scale * jax.lax.dot_general(  # (K, r) = x^T @ (dy lb^T)
+        xf, dybf, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    xa = jax.lax.dot_general(
+        xf, la.astype(dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+    db = scale * jax.lax.dot_general(  # (r, N) = (x la)^T @ dy
+        xa, dyf, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return (
+        dx.astype(dtype),
+        jnp.zeros(wq.shape, jnp.float32),
+        jnp.zeros(ws.shape, jnp.float32),
+        da.astype(jnp.float32),
+        db.astype(jnp.float32),
+    )
+
+
+int8_lora_matmul_prequant.defvjp(_int8_lora_fwd, _int8_lora_bwd)
+
+
 def prequantize_tree(params, min_dim: int = 512):
     """Nested-pytree variant of ``prequantize_base`` for the serving paths
     (Sam3Processor / SAM3LoRAInference): quantizes every eligible base kernel

@@ -125,6 +125,102 @@ def test_bwd_kernel_routing_dx_exact(interpret, monkeypatch):
     )
 
 
+def test_fused_lora_gemm_matches_unfused_chain(interpret):
+    """int8_lora_matmul_prequant (fused kernel) vs the unfused reference:
+    base dequant GEMM + (x@A)@B*scale in the compute dtype — forward AND
+    dx/dA/dB gradients (mirroring models/layers.py's XLA chain autodiff)."""
+    key = jax.random.PRNGKey(7)
+    m, k, n, r = 64, 128, 4736, 32
+    scale = 2.0
+    x = jax.random.normal(key, (m, k), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 1), (k, n), jnp.float32)
+    wq, ws = jax.jit(quant.quantize_weight)(w)
+    la = jax.random.normal(jax.random.fold_in(key, 2), (k, r), jnp.float32)
+    lb = jax.random.normal(jax.random.fold_in(key, 3), (r, n), jnp.float32)
+    ct = jax.random.normal(jax.random.fold_in(key, 4), (m, n), jnp.float32)
+
+    def unfused(x, la, lb):
+        y = _xla_ref(x, wq, ws)
+        delta = (x @ la) @ lb
+        return y + delta * scale
+
+    def fused_loss(x, la, lb):
+        return jnp.sum(
+            quant.int8_lora_matmul_prequant(x, wq, ws, la, lb, scale) * ct
+        )
+
+    got = quant.int8_lora_matmul_prequant(x, wq, ws, la, lb, scale)
+    ref = unfused(x, la, lb)
+    sc = float(jnp.max(jnp.abs(ref))) + 1e-6
+    assert float(jnp.max(jnp.abs(got - ref))) / sc < 1e-5
+
+    dx, da, db = jax.grad(fused_loss, argnums=(0, 1, 2))(x, la, lb)
+    # reference grads: the custom-VJP semantics (dx through the DEQUANTIZED
+    # weight — NOT autodiff of the round()-containing quantization
+    # expression, whose dx is zero-a.e.-plus-amax-terms garbage) + the plain
+    # adapter chain
+    w_deq = wq.astype(jnp.float32) * ws
+    rx = ct @ w_deq.T + scale * (ct @ lb.T) @ la.T
+    ra = scale * x.T @ (ct @ lb.T)
+    rb = scale * (x @ la).T @ ct
+    for g, rref in ((dx, rx), (da, ra), (db, rb)):
+        s_ = float(jnp.max(jnp.abs(rref))) + 1e-6
+        assert float(jnp.max(jnp.abs(g - rref))) / s_ < 1e-4
+
+
+def test_lora_linear_fused_path_matches_unfused(interpret):
+    """Model-level: a prequantized LoRALinear whose shape qualifies routes
+    through the fused base+adapter kernel (TPU/interpret only) and matches
+    the unfused path (SAM3_GEMM_KERNEL=0) to bf16-rounding tolerance, with
+    identical param structure."""
+    import flax.linen as nn
+
+    from sam3_lora_tpu.config import LoRAConfig, ModelConfig
+    from sam3_lora_tpu.models.layers import LoRALinear, Spec
+    from sam3_lora_tpu.ops.quant import prequantize_tree
+
+    mcfg = ModelConfig(
+        dtype="float32", param_dtype="float32", base_quant="int8",
+        base_quant_min_dim=512,
+    )
+    lcfg = LoRAConfig(rank=32, alpha=64.0, dropout=0.0, target_modules=("big",))
+    spec = Spec(model=mcfg, lora=lcfg)
+
+    class Wrap(nn.Module):
+        spec: Spec
+
+        @nn.compact
+        def __call__(self, x, train=False):
+            return LoRALinear(features=4736, spec=self.spec, name="big")(
+                x, train=train
+            )
+
+    key = jax.random.PRNGKey(11)
+    x = jax.random.normal(key, (64, 1024), jnp.float32)
+    m = Wrap(spec=spec)
+    params = m.init(jax.random.fold_in(key, 1), x)
+    # give lora_b nonzero values so the adapter actually contributes
+    params = jax.tree_util.tree_map(lambda v: v, params)
+    import flax
+
+    pdict = flax.core.unfreeze(params)
+    pdict["params"]["big"]["lora_b"] = (
+        jax.random.normal(jax.random.fold_in(key, 2), (32, 4736), jnp.float32)
+        * 0.02
+    )
+    pdict["params"] = prequantize_tree(pdict["params"], min_dim=512)
+    assert pdict["params"]["big"]["kernel"].dtype == jnp.int8
+
+    y_fused = m.apply(pdict, x, train=True)
+    try:
+        gemm_int8.GEMM_KERNEL = False
+        y_unfused = m.apply(pdict, x, train=True)
+    finally:
+        gemm_int8.GEMM_KERNEL = True
+    s = float(jnp.max(jnp.abs(y_unfused))) + 1e-6
+    assert float(jnp.max(jnp.abs(y_fused - y_unfused))) / s < 1e-5
+
+
 def test_batched_leading_dims_flatten(interpret):
     key = jax.random.PRNGKey(4)
     x = jax.random.normal(key, (2, 32, 128), jnp.float32)  # (B, L, K)
