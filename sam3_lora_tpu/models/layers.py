@@ -144,10 +144,12 @@ class LoRALinear(nn.Module):
                 scale = jnp.take(scale, perm, axis=1)
             rank_f = self.lora_rank()
             lcfg_f = self.spec.lora
+            from ..ops.gemm_int8 import GEMM_LORA_FUSED
             from ..ops.quant import _kernel_ok
 
             if (
-                kernel.dtype == jnp.int8
+                GEMM_LORA_FUSED
+                and kernel.dtype == jnp.int8
                 and rank_f > 0
                 and mcfg.base_quant == "int8"
                 and (not train or lcfg_f.dropout == 0.0)

@@ -46,6 +46,13 @@ from jax.experimental.pallas import tpu as pltpu
 # winners only); SAM3_GEMM_KERNEL=0 restores the XLA int8 expression.
 GEMM_KERNEL = os.environ.get("SAM3_GEMM_KERNEL", "1") == "1"
 
+# Adapter-fused variant (int8_lora_gemm_wres): measured a ~1% full-step
+# LOSS as default (3.643 vs 3.678 img/s/chip, v5e bs8 flat layout,
+# 2026-08-20) — the in-kernel skinny adapter dots serialize against the big
+# int8 dot in every M-tile program, where the XLA chain overlaps them
+# across blocks. Kept opt-in for configs where launch count dominates.
+GEMM_LORA_FUSED = os.environ.get("SAM3_GEMM_LORA_FUSED", "0") == "1"
+
 # VMEM budget: W panel + scales + x/xq/out tiles, double-buffered x.
 _VMEM_LIMIT = 100 * 1024 * 1024
 _W_PANEL_MAX = 12 * 1024 * 1024  # int8 bytes; fc1/fc2 panels are 4.85 MB

@@ -168,7 +168,8 @@ def test_fused_lora_gemm_matches_unfused_chain(interpret):
         assert float(jnp.max(jnp.abs(g - rref))) / s_ < 1e-4
 
 
-def test_lora_linear_fused_path_matches_unfused(interpret):
+def test_lora_linear_fused_path_matches_unfused(interpret, monkeypatch):
+    monkeypatch.setattr(gemm_int8, "GEMM_LORA_FUSED", True)
     """Model-level: a prequantized LoRALinear whose shape qualifies routes
     through the fused base+adapter kernel (TPU/interpret only) and matches
     the unfused path (SAM3_GEMM_KERNEL=0) to bf16-rounding tolerance, with
