@@ -78,6 +78,9 @@ def supported(m: int, k: int, n: int) -> bool:
 
 
 def _pick_bm(m: int) -> int:
+    ov = os.environ.get("SAM3_GEMM_BM")  # sweep knob (scripts/bench_gemm.py)
+    if ov and m % int(ov) == 0:
+        return int(ov)
     for bm in (256, 128, 64, 32):
         if m % bm == 0:
             return bm
