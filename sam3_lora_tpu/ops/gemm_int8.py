@@ -72,8 +72,8 @@ def supported(m: int, k: int, n: int) -> bool:
         return False
     if k * n > _W_PANEL_MAX:
         return False
-    if max(k, n) < 4096:
-        return False
+    if max(k, n) < 4096 and os.environ.get("SAM3_GEMM_ALLSHAPES") != "1":
+        return False  # measured-loser shapes (sweeps set ALLSHAPES)
     return True
 
 
