@@ -61,19 +61,18 @@ _FORCE_INTERPRET = False  # tests flip this to run off-TPU
 
 
 def supported(m: int, k: int, n: int) -> bool:
-    """Kernel handles (M,K)x(K,N) iff tiles align, the W panel fits, AND the
-    shape is one where it beats the XLA W8A8 path. On-chip A/B
-    (scripts/bench_gemm.py, v5e, M=41472): fc1 199.9 vs 178.8 TF/s, fc2
-    180.2 vs 107.6 (the K=4736 activation-quant pass is what XLA fails to
-    fuse), but qkv (K=1024, N=3072) REGRESSES to 73.7 vs 141.9 and proj ties
-    — so the kernel is gated to shapes with a >=4096 contraction or output
-    dim (the ViT MLP fc1/fc2, the FLOP majority of the trunk)."""
+    """Kernel handles (M,K)x(K,N) iff tiles align and the W panel fits.
+
+    On-chip A/B at BM=512 (scripts/bench_gemm.py GEMM_BM sweep, v5e,
+    M=41472): the kernel beats the XLA W8A8 path on EVERY trunk shape —
+    fc1 206.5 vs 176.7 TF/s, fc2 194.4 vs 121.2, qkv 160.1 vs 145.6,
+    proj 74.0 vs 61.3. (The first A/B's qkv "regression" — 73.7 at BM=256
+    — was a block-size artifact; 512-row tiles amortize the pinned-panel
+    revolve and keep the MXU fed.)"""
     if m % 32 or k % 128 or n % 128:
         return False
     if k * n > _W_PANEL_MAX:
         return False
-    if max(k, n) < 4096 and os.environ.get("SAM3_GEMM_ALLSHAPES") != "1":
-        return False  # measured-loser shapes (sweeps set ALLSHAPES)
     return True
 
 
@@ -81,7 +80,9 @@ def _pick_bm(m: int) -> int:
     ov = os.environ.get("SAM3_GEMM_BM")  # sweep knob (scripts/bench_gemm.py)
     if ov and m % int(ov) == 0:
         return int(ov)
-    for bm in (256, 128, 64, 32):
+    # 512 first: best across every trunk shape in the GEMM_BM sweep (fc1
+    # 206.5 / qkv 160.1 / proj 74.0 TF/s vs 199.9 / 73.7 / 55.0 at 256)
+    for bm in (512, 256, 128, 64, 32):
         if m % bm == 0:
             return bm
     return 32

@@ -59,9 +59,8 @@ def test_zero_rows_quantize_to_zero(interpret):
 def test_supported_gating():
     assert gemm_int8.supported(41472, 1024, 4736)   # fc1
     assert gemm_int8.supported(41472, 4736, 1024)   # fc2
-    # qkv/proj measured SLOWER through the kernel (bench_gemm A/B) — gated out
-    assert not gemm_int8.supported(41472, 1024, 3072)
-    assert not gemm_int8.supported(41472, 1024, 1024)
+    assert gemm_int8.supported(41472, 1024, 3072)   # qkv (wins at BM=512)
+    assert gemm_int8.supported(41472, 1024, 1024)   # proj
     assert not gemm_int8.supported(41471, 4736, 1024)  # M not 32-aligned
     assert not gemm_int8.supported(256, 1000, 4736)    # K not lane-aligned
     assert not gemm_int8.supported(256, 4096, 4096)    # W panel > budget
