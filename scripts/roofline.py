@@ -120,10 +120,12 @@ def main():
     print(f"  fwd {tf(fwd_img):.2f}  bwd {tf(bwd):.2f}  replay {tf(replay):.2f}"
           f"  total {tf(tot):.2f} TF/img -> {tf(B * tot):.1f} TF @ bs{B}")
 
-    # demonstrated-best rates on THIS v5e-1 (update from microbench logs)
+    # demonstrated-best rates on THIS v5e-1 (r5 queue D GEMM_BM_512 sweep:
+    # fc1 206.5 / fc2 194.4 / qkv 160.1 / proj 74.0 int8 wres kernel ->
+    # FLOP-weighted trunk fwd-GEMM avg ~169; dx bf16 126-140)
     rates = {
-        "gemm_int8_fwd": 177e12,   # op-level W8A8 (PARITY r2)
-        "gemm_bf16": 109e12,       # MLP GEMM microbench
+        "gemm_int8_fwd": 169e12,   # wres kernel, weighted over trunk shapes
+        "gemm_bf16": 130e12,       # dx dy@W^T measured 126-140
         "window_attn_fwdbwd": 44e12,   # queue G WPPxCLAMP
         "long_attn_global": 63e12,     # queue F fwd+bwd
         "long_attn_enc": 28e12,        # encoder shape fwd+bwd
