@@ -67,12 +67,21 @@ class ModelConfig:
     #   "wo_block_mid" — windows_only globals + block_mid windowed blocks
     #                 (skips the window-attention forward replay too, at the
     #                 cost of 28 x 106 MB saved residuals at bs8)
+    # r5: block_mid/wo_block_mid also save the tagged attention output
+    # ("vit_attn_out", models/vit.py::_tag_attn_out) — the LONG-attention
+    # kernel's VJP consumes its own output o, so saving it DCEs the global
+    # blocks' ~15.5 ms in-kernel forward replay under "block_mid" (the
+    # bs10+/bs12 fitting policy); windowed blocks' saves are DCE'd (their
+    # kernel VJP needs only q/k/v).
     vit_remat_policy: str = "windows_only"
     # rematerialize the fusion-encoder / decoder layers in training.
     # Measured on v5e (bs8 full-config LoRA): decoder remat OFF is a pure
     # win (+4%, 1.90 vs 1.83 img/s/chip — decoder activations are small and
     # the backward skips the 6-layer replay); encoder remat OFF exhausts
     # HBM (the 6x 5184-token attention activations), so it stays ON.
+    # r5: the enc_remat policy saves the long-attention kernel's output
+    # ("enc_attn_out", ~21 MB/layer at bs8), DCE-ing its ~10 ms in-kernel
+    # forward replay per layer (fusion_encoder.py) — the bs12 fit enabler.
     enc_remat: bool = True
     # middle ground when enc_remat is False: remat ONLY the FFN sub-block
     # (frees the (B, 5184, 2048) hidden, ~170 MB/layer at bs8) while the
