@@ -80,10 +80,30 @@ _SOFTMAX_MODE = os.environ.get("SAM3_LONG_SOFTMAX", "clamp")
 _CLAMP = 70.0
 
 
+# exp2 fold (clamp mode only): bake log2(e) into the SCORE scale so the
+# exponential is a bare exp2 — exp(x) lowers to exp2(x*log2e) anyway, so
+# this deletes one VPU multiply pass over every (QT, Lp) score tile, fwd
+# AND bwd. Gradients are invariant: s2 = log2e*s and d exp2(s2)/d s2 = ln2*
+# exp2(s2), and log2e*ln2 == 1, so the backward's dq/dk row scalings keep
+# the ORIGINAL scale unchanged. SAM3_LONG_EXP2=1 (A/B'd before defaulting).
+_LOG2E = 1.4426950408889634
+_EXP2 = os.environ.get("SAM3_LONG_EXP2", "0") == "1"
+
+
+def _sscale(scale: float) -> float:
+    """The scale folded into the score dot: x log2(e) under the exp2 fold."""
+    if _EXP2 and _SOFTMAX_MODE == "clamp":
+        return float(scale) * _LOG2E
+    return float(scale)
+
+
 def _exp_range(s):
     """exp with range protection per _SOFTMAX_MODE; returns (e, m) where m
-    is the per-row shift (None under clamp — no shift applied)."""
+    is the per-row shift (None under clamp — no shift applied). Under the
+    exp2 fold the caller has pre-multiplied scores by log2(e)."""
     if _SOFTMAX_MODE == "clamp":
+        if _EXP2:
+            return jnp.exp2(jnp.minimum(s, _CLAMP * _LOG2E)), None
         return jnp.exp(jnp.minimum(s, _CLAMP)), None
     m = jnp.max(s, axis=-1)  # padded cols are exactly 0 — max(true, 0)
     return jnp.exp(s - m[:, None]), m
@@ -186,7 +206,7 @@ def _make_fwd_kernel(scale, dh, valid, qt, rope):
             if rope:
                 q = apply_rope_half(q, cos_q, sin_q)
                 k = apply_rope_half(k, cos_ref[...], sin_ref[...])
-            s = _dot(q, k, (1, 1)) * scale  # (QT, Lp) f32
+            s = _dot(q, k, (1, 1)) * _sscale(scale)  # (QT, Lp) f32
             e = _zero_pad_cols(_exp_range(s)[0], valid)
             r = 1.0 / (jnp.sum(e, axis=-1) + _RS_EPS)  # (QT,)
             o = _dot(e.astype(v.dtype), v, (1, 0))  # (QT, dh) f32
@@ -229,7 +249,9 @@ def _make_bwd_kernel(scale, dh, valid, qt, n_qt, rope):
                 k = apply_rope_half(k, cos_ref[...], sin_ref[...])
             do = do_ref[0][:, sl]
             o = o_ref[0][:, sl]
-            s = _dot(q, k, (1, 1)) * scale
+            # exp2 fold: sscale only affects the exponential's argument; the
+            # dq/dk row scalings below keep the ORIGINAL scale (log2e*ln2=1)
+            s = _dot(q, k, (1, 1)) * _sscale(scale)
             # (QT, Lp) f32, unnormalized; pad cols zeroed
             e = _zero_pad_cols(_exp_range(s)[0], valid)
             inv = 1.0 / (jnp.sum(e, axis=-1) + _RS_EPS)  # (QT,)

@@ -69,6 +69,19 @@ FUSE_ROPE = os.environ.get("SAM3_WINDOW_FUSE_ROPE", "1") == "1"
 # Env-gated experiment (SAM3_WINDOW_MXU_SUM=1).
 _MXU_SUM = os.environ.get("SAM3_WINDOW_MXU_SUM", "0") == "1"
 
+# exp2 fold WITHOUT the MXU rowsum: bake log2(e) into the score scale so
+# the clamp softmax is a bare exp2 (exp lowers to exp2(x*log2e) anyway —
+# this deletes one VPU multiply pass over every score tile, fwd and bwd).
+# Gradients invariant: the bwd dq/dk row scalings keep the ORIGINAL scale
+# (log2e*ln2 == 1), exactly as under _MXU_SUM. SAM3_WINDOW_EXP2=1.
+_EXP2 = os.environ.get("SAM3_WINDOW_EXP2", "0") == "1"
+
+
+def _use_exp2() -> bool:
+    """Scores carry the folded log2(e) factor and exponentials are exp2."""
+    return _MXU_SUM or (_EXP2 and _CLAMP_MAX)
+
+
 # Skip the softmax max-subtraction (p = exp(s) directly): removes a full
 # (L, L) VPU max-reduction pass plus the subtract pass from every program of
 # a VPU-bound kernel. Numerically safe only while |scale*QK^T| stays well
@@ -147,20 +160,20 @@ def _exp_shifted(s):
         # exp2 threshold = 70 * log2(e), the same effective score bound
         return (
             jnp.exp2(jnp.minimum(s, 70.0 * _LOG2E))
-            if _MXU_SUM
+            if _use_exp2()
             else jnp.exp(jnp.minimum(s, 70.0))
         )
     if _NO_MAX:
-        return jnp.exp2(s) if _MXU_SUM else jnp.exp(s)
+        return jnp.exp2(s) if _use_exp2() else jnp.exp(s)
     m = jnp.max(s, axis=-1, keepdims=True)
-    return jnp.exp2(s - m) if _MXU_SUM else jnp.exp(s - m)
+    return jnp.exp2(s - m) if _use_exp2() else jnp.exp(s - m)
 
 
 def _scores(q, k, scale):
     """Unnormalized softmax numerator p = exp(s - rowmax(s)) in fp32, for
     (G, L, D) operands. Under _MXU_SUM the log2(e) factor is folded into the
     score scale so the exponential is a bare exp2 (identical values)."""
-    mult = scale * _LOG2E if _MXU_SUM else scale
+    mult = scale * _LOG2E if _use_exp2() else scale
     s = jax.lax.dot_general(
         q, k,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
@@ -216,7 +229,7 @@ def _fwd_kernel_interleave(q_ref, k_ref, v_ref, o_ref, *, scale):
     v = v_ref[0]
     g = q.shape[0]
 
-    mult = scale * _LOG2E if _MXU_SUM else scale
+    mult = scale * _LOG2E if _use_exp2() else scale
 
     def qk(i):
         return jax.lax.dot_general(
@@ -333,7 +346,7 @@ def _fwd_kernel_rope_interleave(
     k = k_ref[0]
     v = v_ref[0]
     g = q.shape[0]
-    mult = scale * _LOG2E if _MXU_SUM else scale
+    mult = scale * _LOG2E if _use_exp2() else scale
 
     def qk(i):
         return jax.lax.dot_general(

@@ -72,6 +72,64 @@ def test_long_degenerate_row_finite(monkeypatch):
         assert np.all(np.isfinite(np.asarray(g)))
 
 
+def test_exp2_fold_matches_oracle_window(monkeypatch):
+    """SAM3_WINDOW_EXP2: log2(e) folded into the score scale + bare exp2 —
+    forward and grads must match the XLA oracle (gradient scalings are
+    invariant because log2e*ln2 == 1)."""
+    monkeypatch.setattr(wa, "_FORCE_INTERPRET", True)
+    monkeypatch.setattr(wa, "_EXP2", True)
+    assert wa._CLAMP_MAX
+    key = jax.random.PRNGKey(5)
+    q = jax.random.normal(key, (1, 2, 64, 16), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), q.shape, jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), q.shape, jnp.float32)
+    scale = q.shape[-1] ** -0.5
+    out = wa.window_attention(q, k, v, scale)
+    ref = dot_product_attention(q, k, v, impl="xla", scale=scale)
+    assert float(jnp.max(jnp.abs(out - ref))) < 3e-5
+    c = jax.random.normal(jax.random.fold_in(key, 3), q.shape, jnp.float32)
+    g = jax.grad(
+        lambda q, k, v: jnp.sum(wa.window_attention(q, k, v, scale) * c),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    gr = jax.grad(
+        lambda q, k, v: jnp.sum(
+            dot_product_attention(q, k, v, impl="xla", scale=scale) * c
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b in zip(g, gr):
+        assert float(jnp.max(jnp.abs(a - b))) < 3e-4
+
+
+def test_exp2_fold_matches_oracle_long(monkeypatch):
+    monkeypatch.setattr(la, "_FORCE_INTERPRET", True)
+    monkeypatch.setattr(la, "LONG_ATTENTION", True)
+    monkeypatch.setattr(la, "_EXP2", True)
+    assert la._SOFTMAX_MODE == "clamp"
+    key = jax.random.PRNGKey(6)
+    q = jax.random.normal(key, (1, 4, 320, 32), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), q.shape, jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), q.shape, jnp.float32)
+    scale = q.shape[-1] ** -0.5
+    out = la.long_attention(q, k, v, scale)
+    ref = dot_product_attention(q, k, v, impl="xla", scale=scale)
+    assert float(jnp.max(jnp.abs(out - ref))) < 3e-5
+    c = jax.random.normal(jax.random.fold_in(key, 3), q.shape, jnp.float32)
+    g = jax.grad(
+        lambda q, k, v: jnp.sum(la.long_attention(q, k, v, scale) * c),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    gr = jax.grad(
+        lambda q, k, v: jnp.sum(
+            dot_product_attention(q, k, v, impl="xla", scale=scale) * c
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b in zip(g, gr):
+        assert float(jnp.max(jnp.abs(a - b))) < 3e-4
+
+
 def test_normal_rows_unchanged_by_eps(monkeypatch):
     """The reciprocal guard must be invisible on non-degenerate inputs:
     kernel output still matches the XLA oracle tightly."""
