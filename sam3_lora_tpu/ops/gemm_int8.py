@@ -69,7 +69,10 @@ def supported(m: int, k: int, n: int) -> bool:
     proj 74.0 vs 61.3. (The first A/B's qkv "regression" — 73.7 at BM=256
     — was a block-size artifact; 512-row tiles amortize the pinned-panel
     revolve and keep the MXU fed.)"""
-    if m % 32 or k % 128 or n % 128:
+    # m % 128: smaller M forces <=64-row tiles, measured SLOWER than XLA
+    # (bs1 serving, M=5184 -> BM 64: int8 encode p50 92.2 vs 84.9 ms) —
+    # such shapes fall back to the XLA path.
+    if m % 128 or k % 128 or n % 128:
         return False
     if k * n > _W_PANEL_MAX:
         return False

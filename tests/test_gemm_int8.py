@@ -71,10 +71,10 @@ def test_prequant_matmul_routes_and_grads_match(interpret):
     expression and dx (custom VJP, unchanged) stays exact."""
     key = jax.random.PRNGKey(3)
     # n >= 4096 so the routing gate actually admits the kernel
-    x = jax.random.normal(key, (64, 128), jnp.float32)
+    x = jax.random.normal(key, (128, 128), jnp.float32)
     w = jax.random.normal(jax.random.fold_in(key, 1), (128, 4736), jnp.float32)
     wq, ws = jax.jit(quant.quantize_weight)(w)
-    ct = jax.random.normal(jax.random.fold_in(key, 2), (64, 4736), jnp.float32)
+    ct = jax.random.normal(jax.random.fold_in(key, 2), (128, 4736), jnp.float32)
     assert quant._kernel_ok(x, wq)
 
     def loss(x):
@@ -110,10 +110,10 @@ def test_bwd_kernel_routing_dx_exact(interpret, monkeypatch):
     through bf16_gemm_wres_nt and stays exact vs ct @ dequant(W)^T."""
     monkeypatch.setattr(gemm_int8, "GEMM_BWD_KERNEL", True)
     key = jax.random.PRNGKey(6)
-    x = jax.random.normal(key, (64, 128), jnp.float32)
+    x = jax.random.normal(key, (128, 128), jnp.float32)
     w = jax.random.normal(jax.random.fold_in(key, 1), (128, 4736), jnp.float32)
     wq, ws = jax.jit(quant.quantize_weight)(w)
-    ct = jax.random.normal(jax.random.fold_in(key, 2), (64, 4736), jnp.float32)
+    ct = jax.random.normal(jax.random.fold_in(key, 2), (128, 4736), jnp.float32)
     assert gemm_int8.supported_nt(64, 128, 4736)
     dx = jax.grad(
         lambda x: jnp.sum(quant.int8_matmul_prequant(x, wq, ws) * ct)
@@ -223,13 +223,13 @@ def test_lora_linear_fused_path_matches_unfused(interpret, monkeypatch):
 
 def test_batched_leading_dims_flatten(interpret):
     key = jax.random.PRNGKey(4)
-    x = jax.random.normal(key, (2, 32, 128), jnp.float32)  # (B, L, K)
+    x = jax.random.normal(key, (2, 64, 128), jnp.float32)  # (B, L, K)
     w = jax.random.normal(jax.random.fold_in(key, 1), (128, 4736), jnp.float32)
     wq, ws = jax.jit(quant.quantize_weight)(w)
     assert quant._kernel_ok(x, wq)
     got = quant.int8_matmul_prequant(x, wq, ws)
     ref = _xla_ref(x, wq, ws)
-    assert got.shape == (2, 32, 4736)
+    assert got.shape == (2, 64, 4736)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=0, atol=1e-4
     )
